@@ -53,40 +53,26 @@ def exp3(w):
 
 
 def log3(R):
-    """SO(3) log: rotation matrix -> rotation vector. Safe near identity."""
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # vee of the antisymmetric part
-    v = jnp.stack(
-        [
-            R[..., 2, 1] - R[..., 1, 2],
-            R[..., 0, 2] - R[..., 2, 0],
-            R[..., 1, 0] - R[..., 0, 1],
-        ],
-        axis=-1,
-    )
-    # theta / (2 sin theta), series for small theta (double-where for grads)
-    small = theta < 1e-4
-    sin_t_safe = jnp.where(small, jnp.ones_like(theta), jnp.sin(theta))
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t_safe))
-    w = scale[..., None] * v
-    # Near theta = pi the vee part vanishes; use the diagonal formula.
-    near_pi = theta > jnp.pi - 1e-3
-    # R = I + 2/theta^2 ... use axis from largest diagonal of (R + I)/2
-    A = (R + jnp.eye(3, dtype=R.dtype)) * 0.5
-    diag = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
-    axis_sq = jnp.clip(diag - (1.0 - jnp.cos(theta))[..., None] * 0.0, 0.0, None)
-    # axis magnitude: sqrt((R_ii + 1)/2) at theta=pi; fix signs from off-diagonals
-    ax = jnp.sqrt(jnp.clip((jnp.stack(
-        [R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1) + 1.0) * 0.5, 1e-24, None))
-    del axis_sq
-    s0 = jnp.where(R[..., 0, 1] + R[..., 1, 0] >= 0.0, 1.0, -1.0)
-    s1 = jnp.where(R[..., 0, 2] + R[..., 2, 0] >= 0.0, 1.0, -1.0)
-    # choose sign convention: ax0 >= 0, others follow products with row 0
-    ax = ax * jnp.stack([jnp.ones_like(s0), s0, s1], axis=-1)
-    w_pi = theta[..., None] * ax
-    return jnp.where(near_pi[..., None], w_pi, w)
+    """SO(3) log: rotation matrix -> rotation vector.
+
+    Quaternion/atan2 formulation: numerically stable and smoothly
+    differentiable everywhere except the true antipodal singularity at
+    theta == pi (where SO(3) log is non-differentiable mathematically).
+    With q = [sin(t/2) n; cos(t/2)]:  w = (theta / sin(theta/2)) * q_xyz.
+    """
+    q = matrix_to_quat(R)
+    xyz = q[..., :3]
+    # fix the double cover: force w >= 0 so theta in [0, pi]
+    sign = jnp.where(q[..., 3] < 0.0, -1.0, 1.0)
+    xyz = xyz * sign[..., None]
+    c = jnp.abs(q[..., 3])  # cos(theta/2) >= 0
+    s2 = jnp.sum(xyz * xyz, axis=-1)
+    small = s2 < 1e-12
+    s = jnp.sqrt(jnp.where(small, jnp.ones_like(s2), s2))  # sin(theta/2)
+    theta = 2.0 * jnp.arctan2(s, c)
+    # scale = theta / sin(theta/2); series 2/c - 2 s^2/(3 c^3) for small s
+    scale = jnp.where(small, 2.0 / c + s2 * 0.0, theta / s)
+    return scale[..., None] * xyz
 
 
 def exp6(nu):

@@ -1,0 +1,66 @@
+"""Benchmark: batched Panda MPC solves/s on one chip at T=100.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference runs ~100 solves/s/robot on CPU (one CSQP solve per
+10 ms tick at 100 Hz, BASELINE.md); vs_baseline = our solves/s / 100.
+Config matches BASELINE.json config 1: Panda 7-DoF tracking OCP, T=100
+horizon, 10 solver iters/tick budget.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_problem
+    from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
+
+    T = int(os.environ.get("BENCH_T", "100"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+    dtype = jnp.float32
+    cf, x0s, refs, xs0, us0 = _build_problem(T, dtype, batch=BATCH)
+    settings = SolverSettings(max_iters=10)
+
+    solver = jax.jit(
+        jax.vmap(
+            lambda x0, xs, us: solve_fddp(cf, x0, refs, xs, us, settings),
+            in_axes=(0, 0, 0),
+        )
+    )
+
+    # warmup / compile
+    sol = solver(x0s, xs0, us0)
+    sol.cost.block_until_ready()
+
+    n_rounds = 5
+    times = []
+    for _ in range(n_rounds):
+        t0 = time.perf_counter()
+        sol = solver(x0s, xs0, us0)
+        sol.cost.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t_batch = float(np.median(times))
+    solves_per_s = BATCH / t_batch
+
+    assert bool(jnp.all(jnp.isfinite(sol.us))), "non-finite solver output"
+    print(
+        json.dumps(
+            {
+                "metric": "panda_mpc_solves_per_s_T100_1chip",
+                "value": round(solves_per_s, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
