@@ -16,4 +16,5 @@ from .warm_start import (
     WarmStartBase,
     WarmStartReference,
     WarmStartShiftPreviousSolution,
+    WarmStartShiftPreviousSolutionForceFeedback,
 )

@@ -127,8 +127,10 @@ class OCPJax(OCPBase):
         self._solve_init = jax.jit(
             lambda x0, refs, xs, us: solve_fddp(self._cf, x0, refs, xs, us, init_settings)
         )
+        # delay-compensation integrate runs the node-0 action model, which is
+        # the soft-contact step when the spec is force-augmented
         self._integrate0 = jax.jit(
-            lambda x, u: integrator.euler_step(model, params, x, u, float(self._timesteps[0]))
+            lambda x, u, refs: self._cf.step(x, u, 0, refs)
         )
 
     # ------------------------------------------------------------------
@@ -173,15 +175,49 @@ class OCPJax(OCPBase):
                     out[t] = val
             return out
 
+        nxs = self._spec.state_dim(self._model)
         if "xref" in refs:
-            refs["xref"] = jnp.asarray(stack(lambda wp: wp.point.robot_state, (self._model.nx,)))
-            refs["w_x"] = jnp.asarray(stack(lambda wp: wp.weights.w_robot_state, (self._model.nx,)))
+            def xref_of(wp):
+                x = wp.point.robot_state
+                return np.concatenate([x, np.zeros(nxs - len(x))]) if len(x) < nxs else x
+
+            def wx_of(wp):
+                w = wp.weights.w_robot_state
+                return np.concatenate([w, np.zeros(nxs - len(w))]) if len(w) < nxs else w
+
+            refs["xref"] = jnp.asarray(stack(xref_of, (nxs,)))
+            refs["w_x"] = jnp.asarray(stack(wx_of, (nxs,)))
         if "uref" in refs:
             refs["uref"] = jnp.asarray(stack(lambda wp: wp.point.robot_effort, (self._model.nv,)))
             refs["w_u"] = jnp.asarray(stack(lambda wp: wp.weights.w_robot_effort, (self._model.nv,)))
         if "w_coll" in refs:
             refs["w_coll"] = jnp.asarray(stack(
                 lambda wp: wp.weights.w_collision_avoidance, ()))
+
+        if self._spec.soft_contact is not None:
+            # desired force + activation from the streamed wrench/weights
+            # (reference per-tick `dam.f_des/f_weight/active_contact` update,
+            # `ocp_croco_generic_force_feedback.py:141-155`)
+            sc = self._spec.soft_contact
+            mask = list(sc.mask_indices())
+            ncf = sc.nc
+            f_des = np.zeros((T1, ncf), dtype=np_dtype)
+            w_f = np.zeros((T1, ncf), dtype=np_dtype)
+            active = np.zeros((T1,), dtype=np_dtype)
+            for t, wp in enumerate(pts):
+                forces = wp.point.forces or {}
+                wforces = wp.weights.w_forces or {}
+                fv = forces.get(sc.frame)
+                wv = wforces.get(sc.frame)
+                if fv is not None:
+                    f_des[t] = np.asarray(fv)[3:6][mask]  # [n; f] -> linear
+                if wv is not None:
+                    w_sel = np.asarray(wv)[:3][mask]
+                    w_f[t] = w_sel
+                    active[t] = 1.0 if np.sum(np.abs(w_sel)) > 1e-9 else 0.0
+            refs["f_des"] = jnp.asarray(f_des)
+            refs["w_force"] = jnp.asarray(w_f)
+            refs["contact_active"] = jnp.asarray(active)
 
         def ee_entry(dct, frame):
             """Reference semantics: match by frame name; if the point carries
@@ -267,7 +303,11 @@ class OCPJax(OCPBase):
         """One Euler step on the first node's dynamics (delay compensation,
         reference `ocp_base_croco.py:184-189`)."""
         return np.asarray(
-            self._integrate0(jnp.asarray(state, self._dtype), jnp.asarray(control, self._dtype))
+            self._integrate0(
+                jnp.asarray(state, self._dtype),
+                jnp.asarray(control, self._dtype),
+                self._refs,
+            )
         )
 
     @property

@@ -129,3 +129,37 @@ class WarmStartShiftPreviousSolution(WarmStartBase):
         x_init = list(self._previous_solution.states)
         u_init = list(self._previous_solution.feed_forward_terms)
         return np.asarray(x0), x_init, u_init
+
+
+class WarmStartShiftPreviousSolutionForceFeedback(WarmStartShiftPreviousSolution):
+    """Shift warm start on the force-augmented state x = [q; v; f]
+    (reference `warm_start_shift_previous_solution_force_feedback.py:29-98`):
+    the integrator is the soft-contact step and x0 appends the MEASURED
+    contact force masked by the enabled directions (`:82-97`)."""
+
+    def setup(self, model: RobotModel, params: ModelParams, timesteps,
+              soft_contact) -> None:
+        from ..ops.soft_contact import soft_contact_step
+
+        self._timesteps = np.asarray(timesteps, dtype=float)
+        dt = float(self._timesteps[0])
+        assert np.all(self._timesteps >= dt)
+        self._sc = soft_contact
+        self._step = jax.jit(
+            lambda x, u: soft_contact_step(model, params, soft_contact, x, u, dt)
+        )
+
+    def generate(self, initial_state, reference_trajectory):
+        assert self._previous_solution is not None
+        self.shift()
+        pt = initial_state
+        force = np.zeros(3)
+        if pt.forces:
+            # single contact frame: the measured wrench's linear part
+            f6 = next(iter(pt.forces.values()))
+            force = np.asarray(f6)[3:6]
+        mask = list(self._sc.mask_indices())
+        x0 = np.concatenate([pt.robot_configuration, pt.robot_velocity, force[mask]])
+        x_init = list(self._previous_solution.states)
+        u_init = list(self._previous_solution.feed_forward_terms)
+        return x0, x_init, u_init

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..models.model import ModelParams, RobotModel
 from ..ops import activations as act
 from ..ops import integrator, residuals
+from ..ops.soft_contact import soft_contact_step
 from .spec import CostItem, ConstraintItem, ProblemSpec, make_timesteps, slice_refs
 
 
@@ -93,15 +94,21 @@ def _item_residual(item: CostItem, model: RobotModel, params: ModelParams,
             rt[f"ee_rot:{item.frame}"], rt[f"ee_trans:{item.frame}"])
     if item.kind == "collision_distance":
         return residuals.collision_distance_residual(model, params, x, item.pair_id)
+    if item.kind == "force_tracking":
+        # soft-contact force cost: r = f - f_des (force part of the state,
+        # reference `dam.f_des/f_weight`, `ocp_croco_generic_force_feedback.py:141-150`)
+        return x[model.nx:] - rt["f_des"]
     raise ValueError(item.kind)
 
 
-def _item_act_weights(item: CostItem, model: RobotModel, rt: Dict, dtype):
+def _item_act_weights(item: CostItem, model: RobotModel, rt: Dict, dtype, nc=0):
     """Runtime activation weight vector for weighted_quad items."""
-    nr = item.residual_dim(model)
+    nr = item.residual_dim(model, nc)
     if item.update:
         if item.kind == "state":
             return rt["w_x"]
+        if item.kind == "force_tracking":
+            return rt["w_force"]
         if item.kind in ("control", "control_grav"):
             return rt["w_u"]
         if item.kind in ("frame_placement", "visual_servoing"):
@@ -164,9 +171,14 @@ def build_cost_functions(
     model: RobotModel, params: ModelParams, spec: ProblemSpec, dtype=jnp.float32
 ) -> CostFunctions:
     timesteps = make_timesteps(spec, dtype)
+    nc = spec.nc
+    sc = spec.soft_contact
 
-    def step(x, u, t):
+    def step(x, u, t, refs):
         dt = timesteps[t]
+        if sc is not None:
+            active = refs["contact_active"][t]
+            return soft_contact_step(model, params, sc, x, u, dt, active)
         return integrator.euler_step(model, params, x, u, dt)
 
     def _cost_sum(items, x, u, rt, dtype):
@@ -176,7 +188,7 @@ def build_cost_functions(
                 continue
             value, _, _ = _item_activation(item)
             r = _item_residual(item, model, params, x, u, rt)
-            w = _item_act_weights(item, model, rt, dtype)
+            w = _item_act_weights(item, model, rt, dtype, nc)
             total = total + _item_weight(item, rt, dtype) * value(r, w)
         return total
 
@@ -190,7 +202,7 @@ def build_cost_functions(
         return _cost_sum(spec.terminal_costs, x, u0, rt, x.dtype)
 
     def _gn_derivs(items, x, u, rt, with_u: bool):
-        nx, nu = model.nx, model.nv
+        nx, nu = model.nx + nc, model.nv
         dtype = x.dtype
         l = jnp.zeros((), dtype)
         lx = jnp.zeros((nx,), dtype)
@@ -202,7 +214,7 @@ def build_cost_functions(
             if not item.active:
                 continue
             value, dr, drr = _item_activation(item)
-            w_act = _item_act_weights(item, model, rt, dtype)
+            w_act = _item_act_weights(item, model, rt, dtype, nc)
             w_cost = _item_weight(item, rt, dtype)
             r_fn = lambda xx, uu: _item_residual(item, model, params, xx, uu, rt)
             r = r_fn(x, u)
@@ -235,7 +247,10 @@ def build_cost_functions(
         rt = slice_refs(refs, t)
         dt = timesteps[t]
         l, lx, lu, lxx, lxu, luu = _gn_derivs(spec.running_costs, x, u, rt, True)
-        xnext, Fx, Fu = integrator.euler_step_with_derivatives(model, params, x, u, dt)
+        step_local = lambda xx, uu: step(xx, uu, t, refs)
+        xnext = step_local(x, u)
+        Fx = jax.jacfwd(step_local, argnums=0)(x, u)
+        Fu = jax.jacfwd(step_local, argnums=1)(x, u)
         return StageDerivs(
             dt * l, dt * lx, dt * lu, dt * lxx, dt * lxu, dt * luu, xnext, Fx, Fu
         )
@@ -250,15 +265,19 @@ def build_cost_functions(
     # constraints
     # ------------------------------------------------------------------
     c_items = spec.constraints
-    n_con = sum(c.residual_dim(model) for c in c_items)
+    n_con = sum(c.residual_dim(model, nc) for c in c_items)
     term_mask = tuple(c.terminal for c in c_items)
     term_row_mask = tuple(
-        flag for c in c_items for flag in [c.terminal] * c.residual_dim(model)
+        flag for c in c_items for flag in [c.terminal] * c.residual_dim(model, nc)
     )
 
     def _con_residual(c: ConstraintItem, x, u, rt):
         if c.kind == "control_limit":
             return u
+        if c.kind == "force_box":
+            # IAMSoftContactAugmented appends force bounds to the node
+            # constraints (`ocp_croco_generic_force_feedback.py:191-215`)
+            return x[model.nx:]
         as_cost = CostItem(
             name=c.name, kind=c.kind, frame=c.frame, pair_id=c.pair_id,
             reference_frame=c.reference_frame, update=False,
@@ -266,10 +285,16 @@ def build_cost_functions(
         return _item_residual(as_cost, model, params, x, u, rt)
 
     def _bounds(c: ConstraintItem, dtype):
-        nr = c.residual_dim(model)
+        nr = c.residual_dim(model, nc)
         if c.kind == "control_limit":
             lim = params.effort_limit
             return -lim, lim
+        if c.kind == "force_box" and not c.lower and not c.upper and sc is not None:
+            lo = (jnp.asarray(sc.force_lb, dtype) if sc.force_lb
+                  else jnp.full((nr,), -jnp.inf, dtype))
+            hi = (jnp.asarray(sc.force_ub, dtype) if sc.force_ub
+                  else jnp.full((nr,), jnp.inf, dtype))
+            return jnp.broadcast_to(lo, (nr,)), jnp.broadcast_to(hi, (nr,))
         lo = jnp.asarray(c.lower, dtype) if c.lower else jnp.full((nr,), -jnp.inf, dtype)
         hi = jnp.asarray(c.upper, dtype) if c.upper else jnp.full((nr,), jnp.inf, dtype)
         return jnp.broadcast_to(lo, (nr,)), jnp.broadcast_to(hi, (nr,))

@@ -35,6 +35,7 @@ COST_KINDS = (
     "frame_velocity",
     "visual_servoing",
     "collision_distance",
+    "force_tracking",  # soft-contact force cost (force_feedback_mpc f_des)
 )
 
 ACTIVATION_KINDS = ("weighted_quad", "exp", "quad_exp")
@@ -68,9 +69,9 @@ class CostItem:
         if self.activation not in ACTIVATION_KINDS:
             raise ValueError(f"unknown activation {self.activation!r}")
 
-    def residual_dim(self, model: RobotModel) -> int:
+    def residual_dim(self, model: RobotModel, nc: int = 0) -> int:
         return {
-            "state": model.nx,
+            "state": model.nx + nc,
             "control": model.nv,
             "control_grav": model.nv,
             "frame_placement": 6,
@@ -79,6 +80,7 @@ class CostItem:
             "frame_velocity": 6,
             "visual_servoing": 6,
             "collision_distance": 1,
+            "force_tracking": max(nc, 1),
         }[self.kind]
 
 
@@ -99,10 +101,12 @@ class ConstraintItem:
     reference_frame: str = "world"
     terminal: bool = False  # also enforced at the terminal node
 
-    def residual_dim(self, model: RobotModel) -> int:
+    def residual_dim(self, model: RobotModel, nc: int = 0) -> int:
         if self.kind == "control_limit":
             return model.nv
-        return CostItem(name="_", kind=self.kind).residual_dim(model)
+        if self.kind == "force_box":
+            return max(nc, 1)
+        return CostItem(name="_", kind=self.kind).residual_dim(model, nc)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +122,8 @@ class ProblemSpec:
     horizon: int = 20  # number of controls T (nodes = T + 1)
     dt: float = 0.01
     dt_factor_n_seq: Tuple[Tuple[int, int], ...] = ()
+    # force-feedback tier: soft-contact augmented dynamics (SURVEY.md N7)
+    soft_contact: Optional["SoftContactConfig"] = None  # noqa: F821
 
     def __post_init__(self):
         if self.dt_factor_n_seq:
@@ -131,6 +137,15 @@ class ProblemSpec:
     @property
     def n_controls(self) -> int:
         return self.horizon
+
+    @property
+    def nc(self) -> int:
+        """Contact-force state dimension (0 without soft contact)."""
+        return self.soft_contact.nc if self.soft_contact is not None else 0
+
+    def state_dim(self, model: RobotModel) -> int:
+        """nx of the (possibly force-augmented) state."""
+        return model.nx + self.nc
 
     def timesteps(self) -> np.ndarray:
         """Per-node dt, `[T]` (reference `OCPParamsBaseCroco.timesteps`,
@@ -167,12 +182,15 @@ def default_references(
       geom_rot [ng,3,3], geom_trans [ng,3] (moving-obstacle overrides).
     """
     T = spec.horizon
+    nxs = spec.state_dim(model)
     refs: Dict[str, jnp.ndarray] = {}
     eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (T + 1, 3, 3))
+    if spec.soft_contact is not None:
+        refs["contact_active"] = jnp.ones((T + 1,), dtype=dtype)
     for item in spec.all_costs():
         if item.kind == "state":
-            refs.setdefault("xref", jnp.zeros((T + 1, model.nx), dtype=dtype))
-            refs.setdefault("w_x", jnp.ones((T + 1, model.nx), dtype=dtype))
+            refs.setdefault("xref", jnp.zeros((T + 1, nxs), dtype=dtype))
+            refs.setdefault("w_x", jnp.ones((T + 1, nxs), dtype=dtype))
         elif item.kind in ("control", "control_grav"):
             refs.setdefault("uref", jnp.zeros((T + 1, model.nv), dtype=dtype))
             refs.setdefault("w_u", jnp.ones((T + 1, model.nv), dtype=dtype))
@@ -191,6 +209,9 @@ def default_references(
             refs.setdefault(f"wMo_trans:{item.object_frame}", jnp.zeros(3, dtype=dtype))
         elif item.kind == "collision_distance":
             refs.setdefault("w_coll", jnp.ones((T + 1,), dtype=dtype))
+        elif item.kind == "force_tracking":
+            refs.setdefault("f_des", jnp.zeros((T + 1, spec.nc), dtype=dtype))
+            refs.setdefault("w_force", jnp.zeros((T + 1, spec.nc), dtype=dtype))
     return refs
 
 

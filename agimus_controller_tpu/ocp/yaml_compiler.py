@@ -14,6 +14,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional, Tuple, Union
 
+import numpy as np
 import yaml
 
 from ..models.model import RobotModel
@@ -182,6 +183,44 @@ def load_ocp_spec(
 
     running, r_cons = model_costs(tree["running_model"])
     terminal, t_cons = model_costs(tree.get("terminal_model", {"differential": {}}))
+
+    # force-feedback schema: DAMSoftContactAugmentedFwdDynamics + optional
+    # IAM force bounds (reference `ocp_croco_generic_force_feedback.py`)
+    soft_contact = None
+    run_node = tree["running_model"]
+    diff = run_node.get("differential", {})
+    if diff.get("class") == "DAMSoftContactAugmentedFwdDynamics":
+        from ..ops.soft_contact import SoftContactConfig
+
+        def _vec3(val, default):
+            a = np.broadcast_to(np.atleast_1d(np.asarray(
+                val if val is not None else default, dtype=float)), (3,))
+            return tuple(float(v) for v in a)
+
+        soft_contact = SoftContactConfig(
+            frame=diff["frame_id"],
+            Kp=_vec3(diff.get("Kp"), 100.0),
+            Kv=_vec3(diff.get("Kv"), 10.0),
+            oPc=tuple(float(v) for v in diff.get("oPc", (0.0, 0.0, 0.0))),
+            enabled_directions=tuple(
+                bool(b) for b in diff.get("enabled_directions", (True, True, True))),
+            ref=diff.get("ref", "LOCAL").lower(),
+            with_gravity_torque_reg=bool(diff.get("with_gravity_torque_reg", False)),
+            force_lb=tuple(float(v) for v in run_node.get("force_lb", ())),
+            force_ub=tuple(float(v) for v in run_node.get("force_ub", ())),
+        )
+        model.frame_id(soft_contact.frame)  # validate
+        extra = (CostItem(name="force_tracking", kind="force_tracking",
+                          weight=1.0, update=True),)
+        if soft_contact.with_gravity_torque_reg:
+            extra = extra + (CostItem(name="grav_torque_reg", kind="control_grav",
+                                      weight=1.0, update=True),)
+        running = running + extra
+        terminal = terminal + (CostItem(name="force_tracking",
+                                        kind="force_tracking", weight=1.0,
+                                        update=True),)
+        if soft_contact.force_lb or soft_contact.force_ub:
+            r_cons = r_cons + (ConstraintItem(name="force_box", kind="force_box"),)
     # terminal-model constraint entries are flagged terminal
     t_cons = tuple(
         ConstraintItem(**{**c.__dict__, "terminal": True}) for c in t_cons
@@ -196,4 +235,5 @@ def load_ocp_spec(
         horizon=horizon,
         dt=dt,
         dt_factor_n_seq=tuple(dt_factor_n_seq),
+        soft_contact=soft_contact,
     )

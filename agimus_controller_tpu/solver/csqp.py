@@ -245,7 +245,7 @@ def solve_csqp(
             xs_t = xs + alpha * dxs
             us_t = us + alpha * dus
             cost_t = _total_cost(cf, T, xs_t, us_t, refs)
-            xnext_t = jax.vmap(lambda x, u, t: cf.step(x, u, t))(xs_t[:-1], us_t, ts)
+            xnext_t = jax.vmap(lambda x, u, t: cf.step(x, u, t, refs))(xs_t[:-1], us_t, ts)
             gap_t = jnp.sum(jnp.abs(
                 jnp.concatenate([(x0 - xs_t[0])[None], xnext_t - xs_t[1:]], axis=0)))
             if nc > 0:

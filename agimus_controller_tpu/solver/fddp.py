@@ -115,7 +115,7 @@ def _forward(cf: CostFunctions, T, x0, xs, us, ks, Ks, fs, alpha, refs):
     def body(x, inp):
         xref, uref, kk, KK, f_next, t = inp
         u = uref - alpha * kk - KK @ (x - xref)
-        xn = cf.step(x, u, t) - (1.0 - alpha) * f_next
+        xn = cf.step(x, u, t, refs) - (1.0 - alpha) * f_next
         return xn, (xn, u)
 
     ts = jnp.arange(T)

@@ -46,7 +46,7 @@ def make_unicycle_cf(T, xrefs_holder):
     OCP facade can swap them per tick."""
     import jax
 
-    def step(x, u, t):
+    def step(x, u, t, refs=None):
         c, s = jnp.cos(x[2]), jnp.sin(x[2])
         return x + DT * jnp.asarray([u[0] * c, u[0] * s, u[1]])
 
@@ -67,7 +67,7 @@ def make_unicycle_cf(T, xrefs_holder):
         lxu = jnp.zeros((3, 2))
         Fx = jax.jacfwd(step, 0)(x, u, t)
         Fu = jax.jacfwd(step, 1)(x, u, t)
-        return StageDerivs(l, lx, lu, lxx, lxu, luu, step(x, u, t), Fx, Fu)
+        return StageDerivs(l, lx, lu, lxx, lxu, luu, step(x, u, t, refs), Fx, Fu)
 
     def terminal_derivs(x, refs):
         import jax as _j
@@ -128,7 +128,7 @@ class UnicycleOCP(OCPBase):
         return self._results
 
     def integrate(self, state, control):
-        return np.asarray(self._cf.step(jnp.asarray(state), jnp.asarray(control), 0))
+        return np.asarray(self._cf.step(jnp.asarray(state), jnp.asarray(control), 0, self._refs))
 
     @property
     def ocp_results(self):

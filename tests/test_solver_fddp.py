@@ -32,7 +32,7 @@ def make_lqr(nx=4, nu=2, T=30, seed=0):
     R = jnp.asarray(np.diag(rng.uniform(0.5, 2.0, nu)))
     Qf = jnp.asarray(np.diag(rng.uniform(1.0, 5.0, nx)))
 
-    def step(x, u, t):
+    def step(x, u, t, refs=None):
         return A @ x + B @ u
 
     def stage_cost(x, u, t, refs):
@@ -44,7 +44,7 @@ def make_lqr(nx=4, nu=2, T=30, seed=0):
     def stage_derivs(x, u, t, refs):
         return StageDerivs(
             stage_cost(x, u, t, refs), Q @ x, R @ u, Q,
-            jnp.zeros((nx, nu)), R, step(x, u, t), A, B,
+            jnp.zeros((nx, nu)), R, step(x, u, t, refs), A, B,
         )
 
     def terminal_derivs(x, refs):
@@ -165,7 +165,7 @@ def test_panda_goal_reaching(panda):
     # dynamics feasibility: states must satisfy the integrator exactly
     x_roll = x0
     for t in range(T):
-        x_roll = cf.step(x_roll, sol.us[t], t)
+        x_roll = cf.step(x_roll, sol.us[t], t, refs)
     np.testing.assert_allclose(np.asarray(x_roll), np.asarray(sol.xs[-1]), atol=1e-8)
 
 
