@@ -165,6 +165,8 @@ class CostFunctions(NamedTuple):
     n_constraints: int
     terminal_constraint_mask: Tuple[bool, ...]  # per constraint item
     terminal_constraint_row_mask: Tuple[bool, ...]  # per stacked residual row
+    cost_breakdown: callable = None  # per-cost (value, residual) dict at a node
+    cost_derivs: callable = None  # GN cost pack without dynamics
 
 
 def build_cost_functions(
@@ -195,6 +197,23 @@ def build_cost_functions(
     def stage_cost(x, u, t, refs):
         rt = slice_refs(refs, t)
         return timesteps[t] * _cost_sum(spec.running_costs, x, u, rt, x.dtype)
+
+    def cost_breakdown(x, u, t, refs, terminal=False):
+        """Per-cost values + residuals at one node — the debugger's live
+        cost-bar-chart data (reference `MPCDebuggerNode._evaluate_ocp`,
+        `mpc_debugger_node.py:269-328`, which re-runs calc/calcDiff)."""
+        items = spec.terminal_costs if terminal else spec.running_costs
+        rt = slice_refs(refs, t)
+        out = {}
+        for item in items:
+            if not item.active:
+                continue
+            value, _, _ = _item_activation(item)
+            r = _item_residual(item, model, params, x, u, rt)
+            w = _item_act_weights(item, model, rt, x.dtype, nc)
+            out[item.name] = (
+                _item_weight(item, rt, x.dtype) * value(r, w), r)
+        return out
 
     def terminal_cost(x, refs):
         rt = slice_refs(refs, spec.horizon)
@@ -243,17 +262,22 @@ def build_cost_functions(
             return l, lx, lxx
         return l, lx, lu, lxx, lxu, luu
 
-    def stage_derivs(x, u, t, refs) -> StageDerivs:
+    def cost_derivs(x, u, t, refs):
+        """dt-scaled Gauss-Newton cost pack only (no dynamics) — used by the
+        batch-native solver, which supplies dynamics from the component-form
+        kernels (`ops/batched_dynamics.py`)."""
         rt = slice_refs(refs, t)
         dt = timesteps[t]
         l, lx, lu, lxx, lxu, luu = _gn_derivs(spec.running_costs, x, u, rt, True)
+        return dt * l, dt * lx, dt * lu, dt * lxx, dt * lxu, dt * luu
+
+    def stage_derivs(x, u, t, refs) -> StageDerivs:
+        l, lx, lu, lxx, lxu, luu = cost_derivs(x, u, t, refs)
         step_local = lambda xx, uu: step(xx, uu, t, refs)
         xnext = step_local(x, u)
         Fx = jax.jacfwd(step_local, argnums=0)(x, u)
         Fu = jax.jacfwd(step_local, argnums=1)(x, u)
-        return StageDerivs(
-            dt * l, dt * lx, dt * lu, dt * lxx, dt * lxu, dt * luu, xnext, Fx, Fu
-        )
+        return StageDerivs(l, lx, lu, lxx, lxu, luu, xnext, Fx, Fu)
 
     def terminal_derivs(x, refs) -> TerminalDerivs:
         rt = slice_refs(refs, spec.horizon)
@@ -324,6 +348,8 @@ def build_cost_functions(
         step=step,
         stage_cost=stage_cost,
         terminal_cost=terminal_cost,
+        cost_breakdown=cost_breakdown,
+        cost_derivs=cost_derivs,
         stage_derivs=stage_derivs,
         terminal_derivs=terminal_derivs,
         constraints=constraints,

@@ -1,0 +1,138 @@
+"""MPC sim-data plotting with prediction "tails" (reference:
+`plots/mpc_utils.py:26-1503` + the rosbag adapter `plots/plot_tails.py:29-115`).
+
+Takes recorded predictions (mpc_xs [N, T+1, nx], mpc_us [N, T, nu]) and the
+measured closed-loop path, overlays subsampled prediction tails on the
+measured trajectories for state / control / EE-position figures, headless by
+default (JSON sidecars always dumped when ``dump_path`` is set)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from .dump_utils import dump_filename, dump_plot_data
+from .pin_utils import get_p_
+from .plots_utils import _maybe_plt
+
+
+def extract_plot_data_from_sim_data(mpc_data: Dict, dt: float) -> Dict:
+    """Recorder dict -> plotting arrays (reference
+    `extract_plot_data_from_sim_data`, `mpc_utils.py:113`)."""
+    xs = np.asarray(mpc_data["state_predictions"])  # [N, T+1, nx]
+    us = np.asarray(mpc_data["control_predictions"])  # [N, T, nu]
+    N, T1, nx = xs.shape
+    nq = nx // 2
+    return {
+        "N": N,
+        "T": T1 - 1,
+        "nq": nq,
+        "dt": dt,
+        "time": np.arange(N) * dt,
+        "q_measured": xs[:, 0, :nq],
+        "v_measured": xs[:, 0, nq:2 * nq],
+        "u_applied": us[:, 0, :],
+        "xs_pred": xs,
+        "us_pred": us,
+    }
+
+
+def _tails(values_pred: np.ndarray, dt: float, every: int):
+    """Subsampled prediction tails: [(t_axis, tail_values), ...]."""
+    out = []
+    for i in range(0, values_pred.shape[0], every):
+        t_axis = (i + np.arange(values_pred.shape[1])) * dt
+        out.append((t_axis, values_pred[i]))
+    return out
+
+
+def plot_mpc_results(
+    plot_data: Dict,
+    model=None,
+    params=None,
+    ee_frame: Optional[str] = None,
+    tail_every: int = 10,
+    dump_path: Optional[str] = None,
+    show: bool = False,
+) -> Dict:
+    """State/control/EE figures with prediction tails (reference
+    `plot_mpc_results`, `mpc_utils.py:263` -> `:387/:600/:748`).
+
+    Returns the assembled figure data (also dumped as JSON sidecars)."""
+    t = plot_data["time"]
+    dt = plot_data["dt"]
+    nq = plot_data["nq"]
+    figures = {}
+
+    def assemble(title, measured, pred, labels):
+        tails = _tails(pred, dt, tail_every)
+        data = {
+            "title": title,
+            "time": t.tolist(),
+            "measured": measured.tolist(),
+            "labels": labels,
+            "tails": [
+                {"time": ta.tolist(), "values": tv.tolist()} for ta, tv in tails
+            ],
+        }
+        figures[title] = data
+        if dump_path is not None:
+            dump_plot_data(
+                dump_filename(dump_path, title), title, t, measured.T,
+                labels=labels,
+            )
+        plt = _maybe_plt() if show else None
+        if plt is not None:
+            k = measured.shape[1]
+            fig, axes = plt.subplots(k, 1, squeeze=False, figsize=(8, 2 * k))
+            for j in range(k):
+                ax = axes[j][0]
+                for ta, tv in tails:
+                    ax.plot(ta, tv[:, j], color="0.8", lw=0.6)
+                ax.plot(t, measured[:, j], color="C0", lw=1.5, label=labels[j])
+                ax.legend(loc="upper right")
+            fig.suptitle(title)
+            fig.savefig(str(dump_filename(dump_path or ".", title)).replace(
+                "_plotdata.json", ".png"))
+            plt.close(fig)
+        return data
+
+    assemble(
+        "state q", plot_data["q_measured"], plot_data["xs_pred"][..., :nq],
+        [f"q{j}" for j in range(nq)],
+    )
+    assemble(
+        "state v", plot_data["v_measured"], plot_data["xs_pred"][..., nq:2 * nq],
+        [f"v{j}" for j in range(nq)],
+    )
+    assemble(
+        "control u", plot_data["u_applied"], plot_data["us_pred"],
+        [f"u{j}" for j in range(plot_data["u_applied"].shape[1])],
+    )
+    if model is not None and ee_frame is not None:
+        p_meas = get_p_(plot_data["q_measured"], model, params, ee_frame)
+        N, T1 = plot_data["xs_pred"].shape[:2]
+        p_pred = get_p_(
+            plot_data["xs_pred"][..., :nq].reshape(N * T1, nq), model, params,
+            ee_frame).reshape(N, T1, 3)
+        assemble("ee position", p_meas, p_pred, ["x", "y", "z"])
+    return figures
+
+
+def plot_tails(
+    mpc_xs: np.ndarray,
+    mpc_us: np.ndarray,
+    dt: float,
+    model=None,
+    params=None,
+    ee_frame: Optional[str] = None,
+    dump_path: Optional[str] = None,
+    show: bool = False,
+) -> Dict:
+    """Adapter from raw prediction arrays (the reference `plot_tails`
+    rosbag-array entry point, `plot_tails.py:29-115`)."""
+    plot_data = extract_plot_data_from_sim_data(
+        {"state_predictions": mpc_xs, "control_predictions": mpc_us}, dt)
+    return plot_mpc_results(plot_data, model=model, params=params,
+                            ee_frame=ee_frame, dump_path=dump_path, show=show)

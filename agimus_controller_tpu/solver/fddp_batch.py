@@ -1,0 +1,287 @@
+"""Batch-native FDDP: thousands of scenarios in ONE jitted program.
+
+Unlike `vmap(solve_fddp)` — which replicates the tiny-op single-scenario
+program per lane and runs at ~0.1% of peak (see `ops/batched_dynamics.py`) —
+this solver carries the batch dimension through every stage explicitly:
+
+- dynamics + analytic derivatives come from the component-form kernels
+  (`make_batched_step_with_derivs`), one fused dispatch for all B*T nodes,
+- cost Gauss-Newton packs are vmapped (cheap relative to dynamics),
+- the Riccati backward pass is a `lax.scan` over T of `[B, n, n]` batched
+  matmuls/Cholesky (MXU-friendly block shapes),
+- line search, Levenberg-Marquardt regularization and convergence are all
+  PER SCENARIO (`[B]` masks) — scenarios that converge early become no-ops
+  while the rest keep iterating, which `vmap(solve_fddp)` cannot express.
+
+Semantics per scenario are identical to `solve_fddp` (Crocoddyl FDDP).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.model import ModelParams, RobotModel
+from ..ocp.costs import CostFunctions
+from ..ocp.spec import ProblemSpec
+from ..ops.batched_costs import make_batched_cost_pack
+from ..ops.batched_dynamics import make_batched_step, make_batched_step_with_derivs
+from .fddp import Solution, SolverSettings
+
+
+def _tri_solve(L, b):
+    """Batched SPD solve with given Cholesky factors: L [B,n,n], b [B,n]."""
+    y = jax.lax.linalg.triangular_solve(
+        L, b[..., None], left_side=True, lower=True)
+    x = jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True)
+    return x[..., 0]
+
+
+def _tri_solve_mat(L, Bm):
+    y = jax.lax.linalg.triangular_solve(L, Bm, left_side=True, lower=True)
+    return jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True)
+
+
+def make_batch_fddp(
+    model: RobotModel,
+    params: ModelParams,
+    spec: ProblemSpec,
+    cf: CostFunctions,
+    settings: SolverSettings = SolverSettings(),
+):
+    """Build `solve(x0s [B,nx], refs, xs [B,T+1,nx], us [B,T,nu]) -> Solution`
+    (leaves carry a leading [B]). Uniform-dt horizons only for now (the
+    component step is compiled per dt; multi-resolution support = one step
+    per segment, planned)."""
+    T = spec.horizon
+    ts_all = spec.timesteps()
+    assert np.allclose(ts_all, ts_all[0]), (
+        "batch solver currently supports uniform-dt horizons"
+    )
+    dt = float(ts_all[0])
+    step_b = make_batched_step(model, params, dt)
+    step_d = make_batched_step_with_derivs(model, params, dt)
+    n_alphas = settings.n_alphas
+    alphas_np = [0.5**i for i in range(n_alphas)]
+
+    packed = make_batched_cost_pack(model, params, spec)
+    if packed is not None:
+        # component-form cost packs (full-lane layout; the fast path)
+        cost_derivs_b, _term_pack, stage_cost_b, term_cost_b = packed
+
+        def term_derivs_b(x, refs):
+            from ..ocp.costs import TerminalDerivs
+
+            l, lx, lxx = _term_pack(x, refs)
+            return TerminalDerivs(l, lx, lxx)
+    else:
+        cost_derivs_b = jax.vmap(cf.cost_derivs, in_axes=(0, 0, None, None))
+        term_derivs_b = jax.vmap(cf.terminal_derivs, in_axes=(0, None))
+        stage_cost_b = jax.vmap(cf.stage_cost, in_axes=(0, 0, None, None))
+        term_cost_b = jax.vmap(cf.terminal_cost, in_axes=(0, None))
+
+    def total_cost(xs, us, refs):
+        # xs [T+1, B, nx]
+        def body(acc, inp):
+            x, u, t = inp
+            return acc + stage_cost_b(x, u, t, refs), None
+
+        acc0 = jnp.zeros(xs.shape[1], xs.dtype)
+        acc, _ = jax.lax.scan(body, acc0, (xs[:-1], us, jnp.arange(T)))
+        return acc + term_cost_b(xs[-1], refs)
+
+    def derivs_of(xs, us, refs):
+        B = xs.shape[1]
+        nx = xs.shape[2]
+        nu = us.shape[2]
+        x_flat = xs[:-1].reshape(T * B, nx)
+        u_flat = us.reshape(T * B, nu)
+        xnext, Fx, Fu = step_d(x_flat, u_flat)
+        dyn = (
+            xnext.reshape(T, B, nx),
+            Fx.reshape(T, B, nx, nx),
+            Fu.reshape(T, B, nx, nu),
+        )
+        costs = jax.vmap(
+            lambda x, u, t: cost_derivs_b(x, u, t, refs)
+        )(xs[:-1], us, jnp.arange(T))  # each [T, B, ...]
+        term = term_derivs_b(xs[-1], refs)
+        return dyn, costs, term
+
+    def backward(dyn, costs, term, fs, reg):
+        xnext, Fx_all, Fu_all = dyn
+        l, lx, lu, lxx, lxu, luu = costs
+        B = fs.shape[1]
+        nu = lu.shape[-1]
+        eye_u = jnp.eye(nu, dtype=fs.dtype)
+
+        def body(carry, inp):
+            Vx, Vxx, d1, d2 = carry
+            lx_t, lu_t, lxx_t, lxu_t, luu_t, Fx, Fu, f_next = inp
+            Vx_plus = Vx + jnp.einsum("bij,bj->bi", Vxx, f_next)
+            Qx = lx_t + jnp.einsum("bji,bj->bi", Fx, Vx_plus)
+            Qu = lu_t + jnp.einsum("bji,bj->bi", Fu, Vx_plus)
+            VF = jnp.einsum("bij,bjk->bik", Vxx, Fx)
+            Qxx = lxx_t + jnp.einsum("bji,bjk->bik", Fx, VF)
+            Qux = jnp.swapaxes(lxu_t, -1, -2) + jnp.einsum(
+                "bji,bjk->bik", Fu, VF)
+            VFu = jnp.einsum("bij,bjk->bik", Vxx, Fu)
+            Quu = luu_t + jnp.einsum("bji,bjk->bik", Fu, VFu) + (
+                reg[:, None, None] * eye_u)
+            L = jnp.linalg.cholesky(Quu)
+            kk = _tri_solve(L, Qu)
+            KK = _tri_solve_mat(L, Qux)
+            Vx_new = Qx - jnp.einsum("bji,bj->bi", Qux, kk)
+            Vxx_new = Qxx - jnp.einsum("bji,bjk->bik", Qux, KK)
+            Vxx_new = 0.5 * (Vxx_new + jnp.swapaxes(Vxx_new, -1, -2))
+            d1n = d1 + jnp.einsum("bi,bi->b", Qu, kk)
+            d2n = d2 + jnp.einsum("bi,bij,bj->b", kk, Quu, kk)
+            return (Vx_new, Vxx_new, d1n, d2n), (kk, KK, Qu)
+
+        zero = jnp.zeros(B, fs.dtype)
+        (Vx, Vxx, d1, d2), (ks, Ks, Qus) = jax.lax.scan(
+            body, (term.lx, term.lxx, zero, zero),
+            (lx, lu, lxx, lxu, luu, Fx_all, Fu_all, fs[1:]),
+            reverse=True,
+        )
+        bad = ~jnp.all(jnp.isfinite(ks.reshape(T, B, -1)), axis=(0, 2)) | (
+            ~jnp.all(jnp.isfinite(Ks.reshape(T, B, -1)), axis=(0, 2)))
+        return ks, Ks, Qus, d1, d2, bad
+
+    def forward_all(x0s, xs, us, ks, Ks, fs, refs):
+        """All alphas at once: arrays fold the alpha ladder into the batch."""
+        B = xs.shape[1]
+        nx = xs.shape[2]
+        alphas = jnp.asarray(alphas_np, xs.dtype)  # [A]
+        A = n_alphas
+        one_m_a = (1.0 - alphas)[:, None, None]
+        x_init = x0s[None] - one_m_a * fs[0][None]  # [A, B, nx]
+
+        def body(x, inp):
+            xref, uref, kk, KK, f_next, t = inp
+            du = -alphas[:, None, None] * kk[None] - jnp.einsum(
+                "bij,abj->abi", KK, x - xref[None])
+            u = uref[None] + du
+            xn = step_b(
+                x.reshape(A * B, nx), u.reshape(A * B, -1)
+            ).reshape(A, B, nx)
+            xn = xn - one_m_a * f_next[None]
+            return xn, (xn, u)
+
+        _, (xs_new, us_new) = jax.lax.scan(
+            body, x_init, (xs[:-1], us, ks, Ks, fs[1:], jnp.arange(T)))
+        xs_try = jnp.concatenate([x_init[None], xs_new], axis=0)  # [T+1, A, B, nx]
+
+        def cbody(acc, inp):
+            x, u, t = inp  # x = xs_try[t] paired with u_t
+            c = jax.vmap(lambda xa, ua: stage_cost_b(xa, ua, t, refs))(x, u)
+            return acc + c, None
+
+        acc0 = jnp.zeros((n_alphas, B), xs.dtype)
+        acc, _ = jax.lax.scan(cbody, acc0, (xs_try[:-1], us_new, jnp.arange(T)))
+        cost_try = acc + jax.vmap(lambda xa: term_cost_b(xa, refs))(xs_try[-1])
+        return xs_try, us_new, cost_try  # [T+1,A,B,nx], [T,A,B,nu], [A,B]
+
+    def solve(x0s, refs, xs_in, us_in) -> Solution:
+        # internal layout: time-major [T+1, B, nx]
+        xs = jnp.swapaxes(xs_in, 0, 1)
+        us = jnp.swapaxes(us_in, 0, 1)
+        B = xs.shape[1]
+        dtype = xs.dtype
+        alphas = jnp.asarray(alphas_np, dtype)
+
+        def gaps_of(xnext, xs):
+            return jnp.concatenate([(x0s - xs[0])[None], xnext - xs[1:]], axis=0)
+
+        def iteration(carry, _):
+            xs, us, cost, reg, kkt, converged, iters, ks, Ks = carry
+            dyn, costs, term = derivs_of(xs, us, refs)
+            fs = gaps_of(dyn[0], xs)
+            gap_norm = jnp.max(jnp.abs(fs), axis=(0, 2))  # [B]
+            ks_new, Ks_new, Qus, d1, d2, bad = backward(dyn, costs, term, fs, reg)
+            kkt_new = jnp.maximum(
+                jnp.max(jnp.abs(Qus), axis=(0, 2)), gap_norm)  # [B]
+
+            xs_a, us_a, cost_a = forward_all(x0s, xs, us, ks_new, Ks_new, fs, refs)
+            finite = jnp.all(jnp.isfinite(xs_a), axis=(0, 3)) & jnp.isfinite(cost_a)
+            reduction = cost[None] - cost_a  # [A, B]
+            if settings.use_filter_line_search:
+                gaps_a = (1.0 - alphas)[:, None] * gap_norm[None]
+                accept = finite & (
+                    (reduction > 0.0) | (gaps_a < gap_norm[None] * (1.0 - 1e-6)))
+            else:
+                expected = alphas[:, None] * d1[None] - (
+                    0.5 * (alphas**2)[:, None] * d2[None])
+                accept = finite & jnp.where(
+                    expected > 0.0,
+                    reduction >= settings.accept_ratio * expected,
+                    reduction > 0.0)
+            any_accept = jnp.any(accept, axis=0) & ~bad  # [B]
+            best = jnp.argmax(accept, axis=0)  # [B]
+
+            # gather the per-scenario best alpha trial
+            bidx = jnp.arange(B)
+            xs_best = jnp.swapaxes(xs_a, 1, 2)[:, bidx, best]  # [T+1, B, nx]
+            us_best = jnp.swapaxes(us_a, 1, 2)[:, bidx, best]
+            cost_best = cost_a[best, bidx]
+
+            ok = any_accept & ~converged
+            xs_out = jnp.where(ok[None, :, None], xs_best, xs)
+            us_out = jnp.where(ok[None, :, None], us_best, us)
+            cost_out = jnp.where(ok, cost_best, cost)
+            reg_out = jnp.where(
+                converged, reg,
+                jnp.clip(
+                    jnp.where(any_accept & ~bad, reg / settings.reg_dec,
+                              reg * settings.reg_inc),
+                    settings.reg_min, settings.reg_max))
+            live = ~converged
+            kkt_out = jnp.where(live, kkt_new, kkt)
+            ks_out = jnp.where(live[None, :, None], ks_new, ks)
+            Ks_out = jnp.where(live[None, :, None, None], Ks_new, Ks)
+            iters_out = iters + live.astype(iters.dtype)
+            conv_out = converged | (kkt_new < settings.termination_tolerance)
+            return (xs_out, us_out, cost_out, reg_out, kkt_out, conv_out,
+                    iters_out, ks_out, Ks_out), None
+
+        nx = xs.shape[2]
+        nu = us.shape[2]
+        cost0 = total_cost(xs, us, refs)
+        init = (
+            xs, us, cost0,
+            jnp.full((B,), settings.reg_init, dtype),
+            jnp.full((B,), jnp.inf, dtype),
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((T, B, nu), dtype),
+            jnp.zeros((T, B, nu, nx), dtype),
+        )
+        (xs, us, cost, reg, kkt, converged, iters, ks, Ks), _ = jax.lax.scan(
+            iteration, init, None, length=settings.max_iters)
+
+        # final report pass
+        dyn, costs, term = derivs_of(xs, us, refs)
+        fs = gaps_of(dyn[0], xs)
+        ks_f, Ks_f, Qus, d1, d2, bad = backward(
+            dyn, costs, term, fs, jnp.full((B,), settings.reg_min, dtype))
+        kkt_f = jnp.maximum(
+            jnp.max(jnp.abs(Qus), axis=(0, 2)),
+            jnp.max(jnp.abs(fs), axis=(0, 2)))
+        keep = bad
+        return Solution(
+            xs=jnp.swapaxes(xs, 0, 1),
+            us=jnp.swapaxes(us, 0, 1),
+            K=jnp.swapaxes(jnp.where(keep[None, :, None, None], Ks, Ks_f), 0, 1),
+            k=jnp.swapaxes(jnp.where(keep[None, :, None], ks, ks_f), 0, 1),
+            cost=cost,
+            kkt=kkt_f,
+            gap_norm=jnp.max(jnp.abs(fs), axis=(0, 2)),
+            iters=iters,
+            reg=reg,
+            converged=converged | (kkt_f < settings.termination_tolerance),
+        )
+
+    return solve

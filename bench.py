@@ -6,6 +6,9 @@ Baseline: the reference runs ~100 solves/s/robot on CPU (one CSQP solve per
 10 ms tick at 100 Hz, BASELINE.md); vs_baseline = our solves/s / 100.
 Config matches BASELINE.json config 1: Panda 7-DoF tracking OCP, T=100
 horizon, 10 solver iters/tick budget.
+
+Modes (env): BENCH_MODE=batch (default; batch-native component-form solver)
+or vmap (naive vmapped solver); BENCH_BATCH, BENCH_T override sizes.
 """
 
 import json
@@ -23,27 +26,40 @@ def main():
     from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
 
     T = int(os.environ.get("BENCH_T", "100"))
-    BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+    mode = os.environ.get("BENCH_MODE", "batch")
+    BATCH = int(os.environ.get("BENCH_BATCH", "2048" if mode == "batch" else "256"))
     dtype = jnp.float32
-    cf, x0s, refs, xs0, us0 = _build_problem(T, dtype, batch=BATCH)
     settings = SolverSettings(max_iters=10)
 
-    solver = jax.jit(
-        jax.vmap(
-            lambda x0, xs, us: solve_fddp(cf, x0, refs, xs, us, settings),
-            in_axes=(0, 0, 0),
-        )
-    )
+    if mode == "batch":
+        from agimus_controller_tpu.models.panda import load_panda
+        from agimus_controller_tpu.solver.fddp_batch import make_batch_fddp
+        from __graft_entry__ import _build_spec
 
-    # warmup / compile
-    sol = solver(x0s, xs0, us0)
+        model, params = load_panda()
+        spec, cf, refs, x0 = _build_spec(model, params, T, dtype)
+        x0s = jnp.tile(x0[None], (BATCH, 1))
+        xs0 = jnp.tile(x0[None, None], (BATCH, T + 1, 1))
+        us0 = jnp.zeros((BATCH, T, 7), dtype)
+        solver = jax.jit(make_batch_fddp(model, params, spec, cf, settings))
+        run = lambda: solver(x0s, refs, xs0, us0)
+    else:
+        cf, x0s, refs, xs0, us0 = _build_problem(T, dtype, batch=BATCH)
+        solver = jax.jit(
+            jax.vmap(
+                lambda x0, xs, us: solve_fddp(cf, x0, refs, xs, us, settings),
+                in_axes=(0, 0, 0),
+            )
+        )
+        run = lambda: solver(x0s, xs0, us0)
+
+    sol = run()
     sol.cost.block_until_ready()
 
-    n_rounds = 5
     times = []
-    for _ in range(n_rounds):
+    for _ in range(5):
         t0 = time.perf_counter()
-        sol = solver(x0s, xs0, us0)
+        sol = run()
         sol.cost.block_until_ready()
         times.append(time.perf_counter() - t0)
     t_batch = float(np.median(times))
