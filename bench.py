@@ -27,7 +27,7 @@ def main():
 
     T = int(os.environ.get("BENCH_T", "100"))
     mode = os.environ.get("BENCH_MODE", "batch")
-    BATCH = int(os.environ.get("BENCH_BATCH", "2048" if mode == "batch" else "256"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "4096" if mode == "batch" else "256"))
     dtype = jnp.float32
     settings = SolverSettings(max_iters=10)
 
