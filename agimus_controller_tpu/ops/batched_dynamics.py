@@ -457,36 +457,40 @@ def _fd_core(st: _StackedModel, sm: _StaticModel, x, u):
     return a, M, Xs, qm, vm
 
 
-def make_batched_step(model: RobotModel, params: ModelParams, dt: float,
+def make_batched_step(model: RobotModel, params: ModelParams, dt: float = None,
                       dtype=jnp.float32):
-    """Returns jit-ready `step(x, u) -> x_next` on `[B, nx]` batches in the
-    component layout (semi-implicit Euler, same semantics as
-    `integrator.euler_step`). Scan-over-joints RNEA keeps the compiled graph
-    small; dtype follows the input."""
+    """Returns jit-ready `step(x, u, dt_=None) -> x_next` on `[B, nx]`
+    batches in the component layout (semi-implicit Euler, same semantics as
+    `integrator.euler_step`). `dt` may be fixed at build time or passed per
+    call as a scalar or `[B]` array (multi-resolution horizons). Scan-over-
+    joints RNEA keeps the compiled graph small; dtype follows the input."""
     sm = _StaticModel(model, params)
     nj = sm.nj
 
-    def step(x, u):
+    def step(x, u, dt_=None):
+        d = dt if dt_ is None else dt_
         st = _StackedModel(model, params, x.dtype)
         a, M, Xs, qm, vm = _fd_core(st, sm, x, u)
-        v_next = [vm[i] + dt * a[i] for i in range(nj)]
-        q_next = [qm[i] + dt * v_next[i] for i in range(nj)]
+        v_next = [vm[i] + d * a[i] for i in range(nj)]
+        q_next = [qm[i] + d * v_next[i] for i in range(nj)]
         return jnp.stack(q_next + v_next, axis=1)
 
     return step
 
 
-def make_batched_step_with_derivs(model: RobotModel, params: ModelParams, dt: float):
-    """Returns `f(x, u) -> (x_next [B,nx], Fx [B,nx,nx], Fu [B,nx,nu])`.
+def make_batched_step_with_derivs(model: RobotModel, params: ModelParams,
+                                  dt: float = None):
+    """Returns `f(x, u, dt_=None) -> (x_next [B,nx], Fx [B,nx,nx],
+    Fu [B,nx,nu])`. `dt` fixed at build or per call (scalar or [B]).
 
     Derivatives via the RNEA identity (14 linearized-RNEA tangents + column
     solves against the already-factored mass matrix), then the Euler chain
     rule — all in component layout."""
     sm = _StaticModel(model, params)
     nj = sm.nj
-    dt2 = dt * dt
 
-    def f(x, u):
+    def f(x, u, dt_=None):
+        dt_l = dt if dt_ is None else dt_
         B = x.shape[0]
         st = _StackedModel(model, params, x.dtype)
         a, M, Xs, qm, vm = _fd_core(st, sm, x, u)
@@ -517,18 +521,22 @@ def make_batched_step_with_derivs(model: RobotModel, params: ModelParams, dt: fl
 
         # assemble Fx, Fu for semi-implicit Euler:
         # v+ = v + dt a ; q+ = q + dt v+ = q + dt v + dt^2 a
+        dta = jnp.asarray(dt_l, x.dtype)
+        dtm = dta[:, None, None] if dta.ndim == 1 else dta  # [B]->[B,1,1]
+        dt2m = dtm * dtm
         I2 = jnp.broadcast_to(eye, (B, nj, nj))
-        Fq_q = I2 + dt2 * da[:, :, :nj]
-        Fq_v = dt * I2 + dt2 * da[:, :, nj:]
-        Fv_q = dt * da[:, :, :nj]
-        Fv_v = I2 + dt * da[:, :, nj:]
+        Fq_q = I2 + dt2m * da[:, :, :nj]
+        Fq_v = dtm * I2 + dt2m * da[:, :, nj:]
+        Fv_q = dtm * da[:, :, :nj]
+        Fv_v = I2 + dtm * da[:, :, nj:]
         Fx = jnp.concatenate(
             [jnp.concatenate([Fq_q, Fq_v], axis=2),
              jnp.concatenate([Fv_q, Fv_v], axis=2)], axis=1)
-        Fu = jnp.concatenate([dt2 * Minv, dt * Minv], axis=1)
+        Fu = jnp.concatenate([dt2m * Minv, dtm * Minv], axis=1)
 
-        v_next = [vm[i] + dt * a[i] for i in range(nj)]
-        q_next = [qm[i] + dt * v_next[i] for i in range(nj)]
+        dtv = dta if dta.ndim == 1 else dta  # [B] or scalar, broadcasts on [B]
+        v_next = [vm[i] + dtv * a[i] for i in range(nj)]
+        q_next = [qm[i] + dtv * v_next[i] for i in range(nj)]
         x_next = jnp.stack(q_next + v_next, axis=1)
         return x_next, Fx, Fu
 

@@ -57,13 +57,9 @@ def make_batch_fddp(
     component step is compiled per dt; multi-resolution support = one step
     per segment, planned)."""
     T = spec.horizon
-    ts_all = spec.timesteps()
-    assert np.allclose(ts_all, ts_all[0]), (
-        "batch solver currently supports uniform-dt horizons"
-    )
-    dt = float(ts_all[0])
-    step_b = make_batched_step(model, params, dt)
-    step_d = make_batched_step_with_derivs(model, params, dt)
+    ts_np = spec.timesteps()  # per-node dt (multi-resolution supported)
+    step_b = make_batched_step(model, params)
+    step_d = make_batched_step_with_derivs(model, params)
     n_alphas = settings.n_alphas
     alphas_np = [0.5**i for i in range(n_alphas)]
 
@@ -99,7 +95,8 @@ def make_batch_fddp(
         nu = us.shape[2]
         x_flat = xs[:-1].reshape(T * B, nx)
         u_flat = us.reshape(T * B, nu)
-        xnext, Fx, Fu = step_d(x_flat, u_flat)
+        dts_flat = jnp.repeat(jnp.asarray(ts_np, xs.dtype), B)
+        xnext, Fx, Fu = step_d(x_flat, u_flat, dts_flat)
         dyn = (
             xnext.reshape(T, B, nx),
             Fx.reshape(T, B, nx, nx),
@@ -161,18 +158,19 @@ def make_batch_fddp(
         x_init = x0s[None] - one_m_a * fs[0][None]  # [A, B, nx]
 
         def body(x, inp):
-            xref, uref, kk, KK, f_next, t = inp
+            xref, uref, kk, KK, f_next, dt_t = inp
             du = -alphas[:, None, None] * kk[None] - jnp.einsum(
                 "bij,abj->abi", KK, x - xref[None])
             u = uref[None] + du
             xn = step_b(
-                x.reshape(A * B, nx), u.reshape(A * B, -1)
+                x.reshape(A * B, nx), u.reshape(A * B, -1), dt_t
             ).reshape(A, B, nx)
             xn = xn - one_m_a * f_next[None]
             return xn, (xn, u)
 
         _, (xs_new, us_new) = jax.lax.scan(
-            body, x_init, (xs[:-1], us, ks, Ks, fs[1:], jnp.arange(T)))
+            body, x_init,
+            (xs[:-1], us, ks, Ks, fs[1:], jnp.asarray(ts_np, xs.dtype)))
         xs_try = jnp.concatenate([x_init[None], xs_new], axis=0)  # [T+1, A, B, nx]
 
         def cbody(acc, inp):

@@ -20,6 +20,9 @@ import numpy as np
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_problem

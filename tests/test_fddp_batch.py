@@ -73,3 +73,37 @@ def test_batch_fddp_per_scenario_convergence(panda):
     sol = solve(x0s, refs, xs0, us0)
     assert int(sol.iters[0]) <= int(sol.iters[1])
     assert np.all(np.asarray(sol.kkt) < 1e-2)
+
+
+def test_batch_fddp_multi_resolution(panda):
+    """Non-uniform horizon (DTFactorsNSeq semantics): batch solver must match
+    the single-scenario solver on the same spec."""
+    model, params = panda
+    from agimus_controller_tpu.ocp.costs import build_cost_functions
+    from agimus_controller_tpu.ocp.spec import CostItem, ProblemSpec, default_references
+
+    T = 6
+    spec = ProblemSpec(
+        running_costs=(
+            CostItem(name="state_reg", kind="state", weight=0.1, update=True),
+            CostItem(name="ctrl", kind="control", weight=1e-2, update=True),
+        ),
+        terminal_costs=(
+            CostItem(name="state_reg", kind="state", weight=10.0, update=True),
+        ),
+        horizon=T, dt=0.01, dt_factor_n_seq=((1, 3), (2, 2), (4, 1)),
+    )
+    cf = build_cost_functions(model, params, spec, dtype=jnp.float64)
+    refs = default_references(spec, model, dtype=jnp.float64)
+    x0 = jnp.concatenate([jnp.asarray(PANDA_Q_READY), jnp.zeros(7)])
+    refs["xref"] = jnp.tile(x0[None], (T + 1, 1)) + 0.05
+    settings = SolverSettings(max_iters=8)
+    solve_b = jax.jit(make_batch_fddp(model, params, spec, cf, settings))
+    B = 2
+    x0s = jnp.tile(x0[None], (B, 1))
+    xs0 = jnp.tile(x0[None, None], (B, T + 1, 1))
+    us0 = jnp.zeros((B, T, 7))
+    sol_b = solve_b(x0s, refs, xs0, us0)
+    sol_s = solve_fddp(cf, x0, refs, xs0[0], us0[0], settings)
+    np.testing.assert_allclose(np.asarray(sol_b.us[0]), np.asarray(sol_s.us),
+                               atol=2e-6)
