@@ -13,14 +13,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# parallel LLVM codegen occasionally segfaults on the large solver programs
+if "parallel_codegen" not in flags:
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# persistent compilation cache: the solver programs are large; repeated test
-# runs (and driver re-runs) hit the disk cache instead of recompiling
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NOTE: do NOT enable the persistent compilation cache here — XLA:CPU
+# executable serialization hard-aborts (C++ CHECK) on some of the large
+# solver programs. The cache is enabled on the TPU side only (bench.py,
+# __graft_entry__.py).
