@@ -113,19 +113,36 @@ class OCPJax(OCPBase):
         self._debug = OCPDebugData()
         self._timesteps = spec.timesteps()
 
-        run_settings = SolverSettings(
-            max_iters=self._ocp_params.solver_iters,
-            termination_tolerance=self._ocp_params.termination_tolerance,
-            use_filter_line_search=self._ocp_params.use_filter_line_search,
-        )
-        # first-solve semantics: unlimited budget (1000 iters, no time cap,
-        # reference `ocp_base_croco.py:160-171`)
-        init_settings = dataclasses.replace(run_settings, max_iters=1000)
+        if spec.constraints:
+            # constrained specs run the CSQP solver — the reference's runtime
+            # solver (`mim_solvers.SolverCSQP`, `ocp_base_croco.py:64-80`)
+            from ..solver.csqp import CSQPSettings, solve_csqp
+
+            run_settings = CSQPSettings(
+                max_iters=self._ocp_params.solver_iters,
+                max_qp_iters=self._ocp_params.qp_iters,
+                eps_abs=self._ocp_params.eps_abs,
+                eps_rel=self._ocp_params.eps_rel,
+                termination_tolerance=self._ocp_params.termination_tolerance,
+                use_filter_line_search=self._ocp_params.use_filter_line_search,
+            )
+            init_settings = dataclasses.replace(run_settings, max_iters=1000)
+            solver = solve_csqp
+        else:
+            run_settings = SolverSettings(
+                max_iters=self._ocp_params.solver_iters,
+                termination_tolerance=self._ocp_params.termination_tolerance,
+                use_filter_line_search=self._ocp_params.use_filter_line_search,
+            )
+            # first-solve semantics: unlimited budget (1000 iters, no time
+            # cap, reference `ocp_base_croco.py:160-171`)
+            init_settings = dataclasses.replace(run_settings, max_iters=1000)
+            solver = solve_fddp
         self._solve_run = jax.jit(
-            lambda x0, refs, xs, us: solve_fddp(self._cf, x0, refs, xs, us, run_settings)
+            lambda x0, refs, xs, us: solver(self._cf, x0, refs, xs, us, run_settings)
         )
         self._solve_init = jax.jit(
-            lambda x0, refs, xs, us: solve_fddp(self._cf, x0, refs, xs, us, init_settings)
+            lambda x0, refs, xs, us: solver(self._cf, x0, refs, xs, us, init_settings)
         )
         # delay-compensation integrate runs the node-0 action model, which is
         # the soft-contact step when the spec is force-augmented

@@ -41,12 +41,12 @@ def exp_value(r, w, alpha):
 
 
 def exp_dr(r, w, alpha):
-    d = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+    d = jnp.sqrt(jnp.sum(r * r, axis=-1, keepdims=True) + 1e-12)
     return (-jnp.exp(-d / alpha) / (alpha * d)) * r
 
 
 def exp_drr(r, w, alpha):
-    d = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+    d = jnp.sqrt(jnp.sum(r * r, axis=-1, keepdims=True) + 1e-12)
     # diagonal GN approximation of the true Hessian, kept PSD
     return jnp.broadcast_to(jnp.exp(-d / alpha) / (alpha * alpha), r.shape)
 

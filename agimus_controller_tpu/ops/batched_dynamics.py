@@ -458,14 +458,35 @@ def _fd_core(st: _StackedModel, sm: _StaticModel, x, u):
 
 
 def make_batched_step(model: RobotModel, params: ModelParams, dt: float = None,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, unroll: bool = False):
     """Returns jit-ready `step(x, u, dt_=None) -> x_next` on `[B, nx]`
     batches in the component layout (semi-implicit Euler, same semantics as
     `integrator.euler_step`). `dt` may be fixed at build time or passed per
     call as a scalar or `[B]` array (multi-resolution horizons). Scan-over-
-    joints RNEA keeps the compiled graph small; dtype follows the input."""
+    joints RNEA keeps the compiled graph small; dtype follows the input.
+
+    ``unroll=True`` uses the fully-unrolled component RNEA (`_rnea_c`) —
+    larger graph but no nested joint scans, which matters when the step
+    itself sits inside a long time scan (the solver's forward rollout)."""
     sm = _StaticModel(model, params)
     nj = sm.nj
+
+    if unroll:
+        def step(x, u, dt_=None):
+            d = dt if dt_ is None else dt_
+            q = [x[:, i] for i in range(nj)]
+            v = [x[:, nj + i] for i in range(nj)]
+            zero = [jnp.zeros_like(q[0])] * nj
+            Xs = _joint_transforms(sm, q)
+            b = _rnea_c(sm, q, v, zero, Xs)
+            M = _mass_matrix_cols(sm, Xs)
+            rhs = [u[:, i] - b[i] for i in range(nj)]
+            (a,) = _chol_solve_c(M, [rhs])
+            v_next = [v[i] + d * a[i] for i in range(nj)]
+            q_next = [q[i] + d * v_next[i] for i in range(nj)]
+            return jnp.stack(q_next + v_next, axis=1)
+
+        return step
 
     def step(x, u, dt_=None):
         d = dt if dt_ is None else dt_

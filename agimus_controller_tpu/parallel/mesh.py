@@ -79,6 +79,27 @@ def shard_batch(mesh: Mesh, arrays, axis_name: str = "batch"):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), arrays)
 
 
+def sharded_batch_csqp(model, params, spec, cf, settings, mesh: Mesh,
+                       axis_name: str = "batch"):
+    """Batch-native constrained CSQP sharded over the mesh (same layout as
+    `sharded_batch_fddp`; the ADMM while_loop's all-done reduction is the
+    only cross-scenario collective, a cheap scalar `psum`-style AND)."""
+    from ..solver.csqp_batch import make_batch_csqp
+
+    solve = make_batch_csqp(model, params, spec, cf, settings)
+    spec_b = NamedSharding(mesh, P(axis_name))
+    spec_r = NamedSharding(mesh, P())
+
+    def sharded(x0s, refs, xs0, us0):
+        x0s = jax.lax.with_sharding_constraint(x0s, spec_b)
+        xs0 = jax.lax.with_sharding_constraint(xs0, spec_b)
+        us0 = jax.lax.with_sharding_constraint(us0, spec_b)
+        refs = {k: jax.lax.with_sharding_constraint(v, spec_r) for k, v in refs.items()}
+        return solve(x0s, refs, xs0, us0)
+
+    return jax.jit(sharded)
+
+
 def sharded_batch_fddp(model, params, spec, cf, settings, mesh: Mesh,
                        axis_name: str = "batch"):
     """Batch-native FDDP sharded over the mesh: the scenario axis is data

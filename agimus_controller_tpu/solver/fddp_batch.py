@@ -51,11 +51,26 @@ def make_batch_fddp(
     spec: ProblemSpec,
     cf: CostFunctions,
     settings: SolverSettings = SolverSettings(),
+    riccati: str = "component",
 ):
     """Build `solve(x0s [B,nx], refs, xs [B,T+1,nx], us [B,T,nu]) -> Solution`
-    (leaves carry a leading [B]). Uniform-dt horizons only for now (the
-    component step is compiled per dt; multi-resolution support = one step
-    per segment, planned)."""
+    (leaves carry a leading [B]). Multi-resolution horizons supported
+    (per-node dt arrays feed the component step directly).
+
+    ``riccati``: backward-sweep implementation —
+      - "component" (default): full-lane component layout
+        (`riccati_components.py`), fastest at large B (no lane padding);
+      - "pscan": associative-scan parallel Riccati (`riccati_pscan.py`),
+        O(log T) depth — the latency choice for small B / long horizons;
+      - "dense": `[B, n, n]` einsum scan (reference implementation).
+    """
+    if riccati not in ("component", "pscan", "dense"):
+        raise ValueError(riccati)
+    if spec.soft_contact is not None:
+        raise NotImplementedError(
+            "batch-native solver uses rigid-body component dynamics; "
+            "soft-contact specs must use the vmapped solve_fddp/solve_csqp "
+            "path (force-augmented state)")
     T = spec.horizon
     ts_np = spec.timesteps()  # per-node dt (multi-resolution supported)
     step_b = make_batched_step(model, params)
@@ -111,6 +126,25 @@ def make_batch_fddp(
     def backward(dyn, costs, term, fs, reg):
         xnext, Fx_all, Fu_all = dyn
         l, lx, lu, lxx, lxu, luu = costs
+        if riccati == "component":
+            from .riccati_components import backward_components
+
+            return backward_components(
+                Fx_all, Fu_all, lx, lu, lxx, lxu, luu, fs,
+                term.lx, term.lxx, reg)
+        if riccati == "pscan":
+            from .riccati_pscan import parallel_riccati
+
+            B = fs.shape[1]
+            ks, Ks, Qus, _Vx, _Vxx, d1, d2 = jax.vmap(
+                parallel_riccati,
+                in_axes=(1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0),
+                out_axes=(1, 1, 1, 1, 1, 0, 0),
+            )(lx, lu, lxx, lxu, luu, Fx_all, Fu_all, fs,
+              term.lx, term.lxx, reg)
+            bad = ~jnp.all(jnp.isfinite(ks.reshape(T, B, -1)), axis=(0, 2)) | (
+                ~jnp.all(jnp.isfinite(Ks.reshape(T, B, -1)), axis=(0, 2)))
+            return ks, Ks, Qus, d1, d2, bad
         B = fs.shape[1]
         nu = lu.shape[-1]
         eye_u = jnp.eye(nu, dtype=fs.dtype)
@@ -148,40 +182,30 @@ def make_batch_fddp(
             ~jnp.all(jnp.isfinite(Ks.reshape(T, B, -1)), axis=(0, 2)))
         return ks, Ks, Qus, d1, d2, bad
 
-    def forward_all(x0s, xs, us, ks, Ks, fs, refs):
-        """All alphas at once: arrays fold the alpha ladder into the batch."""
+    def rollout_alpha(alpha, x0s, xs, us, ks, Ks, fs, refs):
+        """One gap-contracting FDDP rollout at step length ``alpha``;
+        trial cost accumulates inside the scan (one pass over T)."""
         B = xs.shape[1]
-        nx = xs.shape[2]
-        alphas = jnp.asarray(alphas_np, xs.dtype)  # [A]
-        A = n_alphas
-        one_m_a = (1.0 - alphas)[:, None, None]
-        x_init = x0s[None] - one_m_a * fs[0][None]  # [A, B, nx]
+        one_m_a = 1.0 - alpha
 
-        def body(x, inp):
-            xref, uref, kk, KK, f_next, dt_t = inp
-            du = -alphas[:, None, None] * kk[None] - jnp.einsum(
-                "bij,abj->abi", KK, x - xref[None])
-            u = uref[None] + du
-            xn = step_b(
-                x.reshape(A * B, nx), u.reshape(A * B, -1), dt_t
-            ).reshape(A, B, nx)
-            xn = xn - one_m_a * f_next[None]
-            return xn, (xn, u)
+        def body(carry, inp):
+            x, acc = carry
+            xref, uref, kk, KK, f_next, dt_t, t = inp
+            du = -alpha * kk - jnp.einsum("bij,bj->bi", KK, x - xref)
+            u = uref + du
+            c = stage_cost_b(x, u, t, refs)
+            xn = step_b(x, u, dt_t) - one_m_a * f_next
+            return (xn, acc + c), (xn, u)
 
-        _, (xs_new, us_new) = jax.lax.scan(
-            body, x_init,
-            (xs[:-1], us, ks, Ks, fs[1:], jnp.asarray(ts_np, xs.dtype)))
-        xs_try = jnp.concatenate([x_init[None], xs_new], axis=0)  # [T+1, A, B, nx]
-
-        def cbody(acc, inp):
-            x, u, t = inp  # x = xs_try[t] paired with u_t
-            c = jax.vmap(lambda xa, ua: stage_cost_b(xa, ua, t, refs))(x, u)
-            return acc + c, None
-
-        acc0 = jnp.zeros((n_alphas, B), xs.dtype)
-        acc, _ = jax.lax.scan(cbody, acc0, (xs_try[:-1], us_new, jnp.arange(T)))
-        cost_try = acc + jax.vmap(lambda xa: term_cost_b(xa, refs))(xs_try[-1])
-        return xs_try, us_new, cost_try  # [T+1,A,B,nx], [T,A,B,nu], [A,B]
+        x_init = x0s - one_m_a * fs[0]
+        acc0 = jnp.zeros((B,), xs.dtype)
+        (xT, acc), (xs_new, us_new) = jax.lax.scan(
+            body, (x_init, acc0),
+            (xs[:-1], us, ks, Ks, fs[1:], jnp.asarray(ts_np, xs.dtype),
+             jnp.arange(T)))
+        xs_try = jnp.concatenate([x_init[None], xs_new], axis=0)
+        cost_try = acc + term_cost_b(xT, refs)
+        return xs_try, us_new, cost_try  # [T+1,B,nx], [T,B,nu], [B]
 
     def solve(x0s, refs, xs_in, us_in) -> Solution:
         # internal layout: time-major [T+1, B, nx]
@@ -203,28 +227,46 @@ def make_batch_fddp(
             kkt_new = jnp.maximum(
                 jnp.max(jnp.abs(Qus), axis=(0, 2)), gap_norm)  # [B]
 
-            xs_a, us_a, cost_a = forward_all(x0s, xs, us, ks_new, Ks_new, fs, refs)
-            finite = jnp.all(jnp.isfinite(xs_a), axis=(0, 3)) & jnp.isfinite(cost_a)
-            reduction = cost[None] - cost_a  # [A, B]
-            if settings.use_filter_line_search:
-                gaps_a = (1.0 - alphas)[:, None] * gap_norm[None]
-                accept = finite & (
-                    (reduction > 0.0) | (gaps_a < gap_norm[None] * (1.0 - 1e-6)))
-            else:
-                expected = alphas[:, None] * d1[None] - (
-                    0.5 * (alphas**2)[:, None] * d2[None])
-                accept = finite & jnp.where(
+            # ---- line search: sequential alpha ladder with per-scenario
+            # first-accept masks (the order Crocoddyl tries step lengths);
+            # the while_loop exits as soon as EVERY live scenario accepted —
+            # typically after 1-2 rollouts instead of all n_alphas ----------
+            def accept_of(alpha, cost_a, finite):
+                reduction = cost - cost_a  # [B]
+                if settings.use_filter_line_search:
+                    gaps_a = (1.0 - alpha) * gap_norm
+                    return finite & (
+                        (reduction > 0.0)
+                        | (gaps_a < gap_norm * (1.0 - 1e-6)))
+                expected = alpha * d1 - 0.5 * (alpha**2) * d2
+                return finite & jnp.where(
                     expected > 0.0,
                     reduction >= settings.accept_ratio * expected,
                     reduction > 0.0)
-            any_accept = jnp.any(accept, axis=0) & ~bad  # [B]
-            best = jnp.argmax(accept, axis=0)  # [B]
 
-            # gather the per-scenario best alpha trial
-            bidx = jnp.arange(B)
-            xs_best = jnp.swapaxes(xs_a, 1, 2)[:, bidx, best]  # [T+1, B, nx]
-            us_best = jnp.swapaxes(us_a, 1, 2)[:, bidx, best]
-            cost_best = cost_a[best, bidx]
+            def ls_cond(state):
+                i, done, took, _, _, _ = state
+                return (i < n_alphas) & ~jnp.all(done)
+
+            def ls_body(state):
+                i, done, took, xs_b, us_b, cost_b = state
+                alpha = alphas[i]
+                xs_t, us_t, cost_t = rollout_alpha(
+                    alpha, x0s, xs, us, ks_new, Ks_new, fs, refs)
+                finite = jnp.all(
+                    jnp.isfinite(xs_t), axis=(0, 2)) & jnp.isfinite(cost_t)
+                take = accept_of(alpha, cost_t, finite) & ~done
+                xs_b = jnp.where(take[None, :, None], xs_t, xs_b)
+                us_b = jnp.where(take[None, :, None], us_t, us_b)
+                cost_b = jnp.where(take, cost_t, cost_b)
+                return (i + 1, done | take, took | take, xs_b, us_b, cost_b)
+
+            skip = converged | bad  # no trial needed for these scenarios
+            ls_init = (jnp.asarray(0, jnp.int32), skip,
+                       jnp.zeros((B,), bool), xs, us, cost)
+            _, _, took, xs_best, us_best, cost_best = jax.lax.while_loop(
+                ls_cond, ls_body, ls_init)
+            any_accept = took  # [B]
 
             ok = any_accept & ~converged
             xs_out = jnp.where(ok[None, :, None], xs_best, xs)

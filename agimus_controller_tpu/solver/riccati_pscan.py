@@ -124,8 +124,8 @@ def parallel_riccati(lx, lu, lxx, lxu, luu, Fx, Fu, fs, term_lx, term_lxx, reg=0
         L = jnp.linalg.cholesky(Quu)
         kk = jax.scipy.linalg.cho_solve((L, True), Qu)
         KK = jax.scipy.linalg.cho_solve((L, True), Qux)
-        return kk, KK, Qu
+        return kk, KK, Qu, Qu @ kk, kk @ Quu @ kk
 
-    ks, Ks, Qus = jax.vmap(gains)(
+    ks, Ks, Qus, d1_t, d2_t = jax.vmap(gains)(
         lx, lu, lxx, lxu, luu, Fx, Fu, fs[1:], Vx[1:], Vxx[1:])
-    return ks, Ks, Qus, Vx, Vxx
+    return ks, Ks, Qus, Vx, Vxx, jnp.sum(d1_t), jnp.sum(d2_t)

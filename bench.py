@@ -7,8 +7,10 @@ Baseline: the reference runs ~100 solves/s/robot on CPU (one CSQP solve per
 Config matches BASELINE.json config 1: Panda 7-DoF tracking OCP, T=100
 horizon, 10 solver iters/tick budget.
 
-Modes (env): BENCH_MODE=batch (default; batch-native component-form solver)
-or vmap (naive vmapped solver); BENCH_BATCH, BENCH_T override sizes.
+Modes (env): BENCH_MODE=batch (default; batch-native component-form solver),
+vmap (naive vmapped solver), or latency (small batch, associative-scan
+Riccati; reports p50 per-solve latency vs the reference's 10 ms tick budget).
+BENCH_BATCH, BENCH_T override sizes.
 """
 
 import json
@@ -30,9 +32,40 @@ def main():
 
     T = int(os.environ.get("BENCH_T", "100"))
     mode = os.environ.get("BENCH_MODE", "batch")
-    BATCH = int(os.environ.get("BENCH_BATCH", "4096" if mode == "batch" else "256"))
+    default_b = {"batch": "4096", "latency": "8"}.get(mode, "256")
+    BATCH = int(os.environ.get("BENCH_BATCH", default_b))
     dtype = jnp.float32
     settings = SolverSettings(max_iters=10)
+
+    if mode == "latency":
+        from agimus_controller_tpu.models.panda import load_panda
+        from agimus_controller_tpu.solver.fddp_batch import make_batch_fddp
+        from __graft_entry__ import _build_spec
+
+        model, params = load_panda()
+        spec, cf, refs, x0 = _build_spec(model, params, T, dtype)
+        x0s = jnp.tile(x0[None], (BATCH, 1))
+        xs0 = jnp.tile(x0[None, None], (BATCH, T + 1, 1))
+        us0 = jnp.zeros((BATCH, T, 7), dtype)
+        solver = jax.jit(make_batch_fddp(
+            model, params, spec, cf, settings, riccati="pscan"))
+        sol = solver(x0s, refs, xs0, us0)
+        sol.cost.block_until_ready()
+        lat = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            sol = solver(x0s, refs, xs0, us0)
+            sol.cost.block_until_ready()
+            lat.append(time.perf_counter() - t0)
+        p50_ms = float(np.median(lat)) * 1e3
+        assert bool(jnp.all(jnp.isfinite(sol.us))), "non-finite solver output"
+        print(json.dumps({
+            "metric": f"panda_mpc_p50_latency_ms_T{T}_B{BATCH}_1chip",
+            "value": round(p50_ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(10.0 / p50_ms, 3),
+        }))
+        return
 
     if mode == "batch":
         from agimus_controller_tpu.models.panda import load_panda

@@ -41,9 +41,11 @@ def test_parallel_matches_sequential(with_gaps):
     d, term, fs = random_lqr_data(with_gaps=with_gaps)
     reg = 1e-9
     ks_s, Ks_s, Qus_s, d1, d2, div = _backward(d, term, fs, reg)
-    ks_p, Ks_p, Qus_p, Vx, Vxx = parallel_riccati(
+    ks_p, Ks_p, Qus_p, Vx, Vxx, d1_p, d2_p = parallel_riccati(
         d.lx, d.lu, d.lxx, d.lxu, d.luu, d.Fx, d.Fu, fs,
         term.lx, term.lxx, reg=reg)
+    np.testing.assert_allclose(np.asarray(d1_p), np.asarray(d1), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(d2_p), np.asarray(d2), atol=1e-7)
     np.testing.assert_allclose(np.asarray(ks_p), np.asarray(ks_s), atol=1e-8)
     np.testing.assert_allclose(np.asarray(Ks_p), np.asarray(Ks_s), atol=1e-8)
     np.testing.assert_allclose(np.asarray(Qus_p), np.asarray(Qus_s), atol=1e-8)
