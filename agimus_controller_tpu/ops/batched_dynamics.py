@@ -500,13 +500,20 @@ def make_batched_step(model: RobotModel, params: ModelParams, dt: float = None,
 
 
 def make_batched_step_with_derivs(model: RobotModel, params: ModelParams,
-                                  dt: float = None):
+                                  dt: float = None, deriv_mode: str = "vjp"):
     """Returns `f(x, u, dt_=None) -> (x_next [B,nx], Fx [B,nx,nx],
     Fu [B,nx,nu])`. `dt` fixed at build or per call (scalar or [B]).
 
-    Derivatives via the RNEA identity (14 linearized-RNEA tangents + column
-    solves against the already-factored mass matrix), then the Euler chain
-    rule — all in component layout."""
+    Derivatives via the RNEA identity, then the Euler chain rule — all in
+    component layout. ``deriv_mode`` selects how d rnea/d(q,v) is formed:
+
+    - "vjp" (default): the Jacobian is [nj, 2nj] — nj *rows* via reverse-mode
+      pulls is ~2x cheaper than 2nj forward tangents (7 vs 14 RNEA-sized
+      passes for the Panda).
+    - "jvp": 2nj forward tangents via `jax.linearize` (reference path).
+    """
+    if deriv_mode not in ("vjp", "jvp"):
+        raise ValueError(deriv_mode)
     sm = _StaticModel(model, params)
     nj = sm.nj
 
@@ -517,23 +524,34 @@ def make_batched_step_with_derivs(model: RobotModel, params: ModelParams,
         a, M, Xs, qm, vm = _fd_core(st, sm, x, u)
         a_stacked = jnp.stack(a)  # [nj, B]
 
-        # d rnea(q, v, a)/d(q, v) via linearization at the solution a
+        # d rnea(q, v, a)/d(q, v) at the solution a (a held fixed)
         def rnea_flat(qv):
             taus, _ = _rnea_scan(st, qv[:, :nj].T, qv[:, nj:].T, a_stacked)
             return jnp.stack(taus, axis=1)  # [B, nj]
 
-        _, rnea_lin = jax.linearize(rnea_flat, x)
-        basis = jnp.eye(2 * nj, dtype=x.dtype)
-        # D[k] = d rnea / d qv_k : [2nj, B, nj]
-        D = jax.vmap(lambda e: rnea_lin(jnp.broadcast_to(e, (B, 2 * nj))))(basis)
+        if deriv_mode == "vjp":
+            _, pullback = jax.vjp(rnea_flat, x)
+            basis_o = jnp.eye(nj, dtype=x.dtype)
+            # Drow[i] = d tau_i / d qv : [nj, B, 2nj]
+            Drow = jax.vmap(
+                lambda e: pullback(jnp.broadcast_to(e, (B, nj)))[0]
+            )(basis_o)
+        else:
+            _, rnea_lin = jax.linearize(rnea_flat, x)
+            basis = jnp.eye(2 * nj, dtype=x.dtype)
+            # D[k] = d rnea / d qv_k : [2nj, B, nj]
+            D = jax.vmap(
+                lambda e: rnea_lin(jnp.broadcast_to(e, (B, 2 * nj)))
+            )(basis)
+            Drow = jnp.moveaxis(D, (0, 2), (2, 0))  # [nj, B, 2nj]
 
         # ONE factorization, ALL columns packed on a trailing axis:
         # nj unit columns (-> M~^-1) then 2nj tangent columns (-> da/dqv)
         eye = jnp.eye(nj, dtype=x.dtype)
         rhs = [
             jnp.concatenate(
-                [jnp.broadcast_to(eye[i], (B, nj)),
-                 -jnp.moveaxis(D[:, :, i], 0, 1)], axis=1)  # [B, nj + 2nj]
+                [jnp.broadcast_to(eye[i], (B, nj)), -Drow[i]],
+                axis=1)  # [B, nj + 2nj]
             for i in range(nj)
         ]
         sols = _chol_solve_packed(M, rhs)  # list nj of [B, 3nj]
