@@ -504,7 +504,12 @@ def build_model_from_urdf(
         geometries=tuple(geoms),
         collision_pairs=tuple(pair_set),
     )
-    f = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+    # ModelParams leaves stay NUMPY at rest: host->device transfer happens
+    # lazily (and cheaply) at trace/dispatch time. Building them as device
+    # arrays here would make every later host read (static-model baking,
+    # cost-pack constants) a device->host fetch — which, on tunneled TPU
+    # runtimes, permanently degrades sync latency for the whole process.
+    f = lambda x: np.asarray(np.asarray(x), dtype=np.dtype(jnp.dtype(dtype).name))
     lim = np.asarray(limits) if limits else np.zeros((0, 4))
     params = ModelParams(
         joint_rot=f(np.stack(joint_rot) if joint_rot else np.zeros((0, 3, 3))),

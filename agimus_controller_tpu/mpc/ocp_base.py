@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import abc
 import dataclasses
+import time
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -88,6 +89,11 @@ class OCPBase(abc.ABC):
     def debug_data(self) -> OCPDebugData: ...
 
 
+# transforms older than this are nulled before a solve (reference
+# `agimus_controller.py:306-338`: 0.5 s TF staleness cutoff)
+TRANSFORM_STALENESS_NS = int(0.5e9)
+
+
 class OCPJax(OCPBase):
     """Concrete OCP over the FDDP/CSQP jitted solver (the `OCPBaseCroco` /
     `OCPCrocoGeneric` replacement)."""
@@ -149,6 +155,22 @@ class OCPJax(OCPBase):
         self._integrate0 = jax.jit(
             lambda x, u, refs: self._cf.step(x, u, 0, refs)
         )
+        self._run_solver_builder = solver
+        self._run_settings = run_settings
+        # wall-clock budget enforcement (`max_solve_time`): a calibrated
+        # per-iteration cost -> static iteration cap (jit-compatible; see
+        # `calibrate_solve_budget`). None = not yet calibrated.
+        self._budget_iters: Optional[int] = None
+        self._budget_per_iter_s: Optional[float] = None
+        # visual-servoing transform staleness bookkeeping (reference
+        # `agimus_controller.py:306-338` + `ocp_croco_generic.py:463-467`)
+        self._transform_stamp_ns: Dict[str, int] = {}
+        self._vs_items = tuple(
+            (c.object_frame, c.frame)
+            for c in (tuple(spec.running_costs) + tuple(spec.terminal_costs))
+            if c.kind == "visual_servoing"
+        )
+        self._host_refs: Dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------------
     @property
@@ -265,6 +287,9 @@ class OCPJax(OCPBase):
                 refs[key] = jnp.asarray(rots)
                 refs[f"ee_trans:{frame}"] = jnp.asarray(trans)
                 refs[f"w_ee:{frame}"] = jnp.asarray(w)
+                # host copy kept for staleness checks (avoids device->host
+                # reads on the control path)
+                self._host_refs[f"w_ee:{frame}"] = w
             elif key.startswith("ee_vel:"):
                 frame = key.split(":", 1)[1]
                 vel = np.zeros((T1, 6), dtype=np_dtype)
@@ -280,11 +305,45 @@ class OCPJax(OCPBase):
                 refs[f"w_ee_vel:{frame}"] = jnp.asarray(w)
         self._refs = refs
 
-    def set_transform(self, object_frame: str, rot: np.ndarray, trans: np.ndarray):
+    def set_transform(
+        self,
+        object_frame: str,
+        rot: np.ndarray,
+        trans: np.ndarray,
+        time_ns: Optional[int] = None,
+    ):
         """Feed a visual-servoing vision transform (reference
-        `input_transforms`, `ocp_croco_generic.py:791-796`)."""
+        `input_transforms`, `ocp_croco_generic.py:791-796`). ``time_ns``
+        stamps the transform for the 0.5 s staleness cutoff
+        (`agimus_controller.py:306-338`); defaults to now."""
         self._refs[f"wMo_rot:{object_frame}"] = jnp.asarray(rot, self._dtype)
         self._refs[f"wMo_trans:{object_frame}"] = jnp.asarray(trans, self._dtype)
+        self._transform_stamp_ns[object_frame] = (
+            time.time_ns() if time_ns is None else int(time_ns))
+
+    def validate_transforms(self, now_ns: Optional[int] = None):
+        """Null stale visual-servoing transforms and enforce the reference's
+        invariant that VS weights are zero while no transform is available.
+
+        Mirrors the controller's TF handling (`agimus_controller.py:306-338`:
+        transforms older than 0.5 s are dropped) + the OCP-side assertion
+        (`ocp_croco_generic.py:463-467`). Raises AssertionError if the
+        streamed VS weights are nonzero for a frame with no fresh transform.
+        """
+        now = time.time_ns() if now_ns is None else int(now_ns)
+        for obj, frame in self._vs_items:
+            stamp = self._transform_stamp_ns.get(obj)
+            if stamp is not None and now - stamp <= TRANSFORM_STALENESS_NS:
+                continue
+            if stamp is not None:
+                self._transform_stamp_ns.pop(obj, None)
+                self._refs[f"wMo_rot:{obj}"] = jnp.eye(3, dtype=self._dtype)
+                self._refs[f"wMo_trans:{obj}"] = jnp.zeros(3, dtype=self._dtype)
+            w = self._host_refs.get(f"w_ee:{frame}")
+            assert w is None or not np.any(np.abs(w) > 0.0), (
+                f"weights of visual servoing cost (frame {frame!r}) must be "
+                f"zero while no fresh transform for {obj!r} is available "
+                "(reference ocp_croco_generic.py:463-467)")
 
     def update_geometry_placement(self, geom_rot: np.ndarray, geom_trans: np.ndarray):
         """Move obstacle geometries (reference `update_geometry_placement`,
@@ -293,6 +352,47 @@ class OCPJax(OCPBase):
         self._refs["geom_trans"] = jnp.asarray(geom_trans, self._dtype)
 
     # ------------------------------------------------------------------
+    def calibrate_solve_budget(self, x0, x_warmstart, u_warmstart) -> int:
+        """Enforce `max_solve_time` (reference `ocp_base_croco.py:70-71,
+        166-171`) the jit-compatible way: measure the per-iteration cost of
+        the compiled run solver once, then cap the static iteration count so
+        a tick can never exceed its wall-clock budget. Returns the cap.
+
+        Call after the first (unlimited) solve — e.g. from the runtime's
+        initialization path — so compilation cost is already paid.
+        """
+        xs = jnp.asarray(np.stack(x_warmstart), self._dtype)
+        us = jnp.asarray(np.stack(u_warmstart), self._dtype)
+        x0j = jnp.asarray(x0, self._dtype)
+        sol = self._solve_run(x0j, self._refs, xs, us)  # compile
+        jax.block_until_ready(sol.cost)
+        t0 = time.perf_counter()
+        n_cal = 3
+        for _ in range(n_cal):
+            sol = self._solve_run(x0j, self._refs, xs, us)
+        jax.block_until_ready(sol.cost)
+        per_solve = (time.perf_counter() - t0) / n_cal
+        full_iters = max(1, int(self._ocp_params.solver_iters))
+        self._budget_per_iter_s = per_solve / full_iters
+        budget = self._ocp_params.max_solve_time
+        if budget and per_solve > budget:
+            capped = max(1, int(budget / self._budget_per_iter_s))
+            capped = min(capped, full_iters)
+            if capped < full_iters:
+                settings = dataclasses.replace(
+                    self._run_settings, max_iters=capped)
+                self._solve_run = jax.jit(
+                    lambda x0_, refs, xs_, us_: self._run_solver_builder(
+                        self._cf, x0_, refs, xs_, us_, settings))
+            self._budget_iters = capped
+        else:
+            self._budget_iters = full_iters
+        return self._budget_iters
+
+    @property
+    def budget_iters(self) -> Optional[int]:
+        return self._budget_iters
+
     def solve(
         self,
         x0: np.ndarray,

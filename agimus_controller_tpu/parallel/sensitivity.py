@@ -29,6 +29,9 @@ def perturbed_params_batch(
     """Stack one-at-a-time perturbations of (inertia[6], com[3], mass[1]) for
     every body: returns a ModelParams pytree with leading axis
     B = nj * 10 (+1 unperturbed row 0) and the matching labels."""
+    # ModelParams leaves are host (numpy) arrays at rest; move to device once
+    # so the .at[] functional updates below work uniformly.
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     nj = params.mass.shape[0]
     rows = [params]
     labels = ["nominal"]

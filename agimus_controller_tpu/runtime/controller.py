@@ -122,6 +122,12 @@ class ControllerRuntime:
         x0, xs, us = self._ws_ref.generate(x0pt, [wp.point for wp in horizon])
         res = ocp.solve(x0, xs, us, use_iteration_limits_and_timeout=False)
         self._mpc._warm_start.update_previous_solution(res)
+        # enforce `max_solve_time` from here on: calibrate the compiled run
+        # solver and cap its iteration count (reference
+        # `ocp_base_croco.py:70-71,166-171` caps every tick at 0.1 s)
+        if hasattr(ocp, "calibrate_solve_budget"):
+            cap = ocp.calibrate_solve_budget(x0, xs, us)
+            logger.info("solver budget: %s iterations per tick", cap)
         self.initialized = True
         logger.info("MPC initialized; buffer has enough data.")
         return True
@@ -158,6 +164,12 @@ class ControllerRuntime:
                 )
                 while len(self._buffer) < needed:
                     self._buffer.append(self._buffer[len(self._buffer) - 1])
+
+        # stale-TF cutoff + VS-weight invariant (reference
+        # `agimus_controller.py:306-338`, `ocp_croco_generic.py:463-467`)
+        ocp = self._mpc._ocp
+        if hasattr(ocp, "validate_transforms"):
+            ocp.validate_transforms(now_ns)
 
         start = time.perf_counter()
         x0pt = TrajectoryPoint(

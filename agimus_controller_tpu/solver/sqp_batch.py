@@ -1,0 +1,526 @@
+"""Batch-native multiple-shooting SQP / CSQP — the LATENCY solver.
+
+This implements the reference's *actual runtime solver* semantics
+(mim_solvers ``SolverSQP`` / ``SolverCSQP``, reference call site
+`ocp_base_croco.py:64-80`): multiple shooting with linear step updates
+
+    xs_try = xs + alpha * dxs,   us_try = us + alpha * dus
+
+instead of FDDP's nonlinear rollout. On TPU this is the difference between
+real-time and not: the nonlinear rollout is a sequential ``lax.scan`` over
+the horizon whose tiny per-node body is dominated by op dispatch (~28 ms at
+T=100 measured on v5e — ~90% of `fddp_batch` solve time), while every stage
+here is node-parallel:
+
+- dynamics + analytic derivatives: ONE flattened [T*B] dispatch
+  (`make_batched_step_with_derivs`, ~0.9 ms),
+- cost Gauss-Newton packs: vmapped over nodes (~1.1 ms),
+- Riccati backward: factor-once batch-minor sweep (`riccati_components`
+  layout, ~0.7 ms) — the only remaining sequential-in-T stage, with a tiny
+  body,
+- QP (constrained case): OSQP-style ADMM over the *cached* Riccati
+  factorization — each of up to ``max_qp_iters`` iterations is a cheap
+  linear backward/forward vector sweep plus slack clip + dual update
+  (mim_solvers' trick; reference `ocp_param_base.py:53-61` for eps_abs/rel),
+- line search: the WHOLE alpha ladder evaluated in one batched node-parallel
+  dispatch (costs + exact dynamics gaps + constraint violations), then a
+  per-scenario first-accept filter rule — semantics of mim_solvers'
+  filter line search.
+
+Everything carries a leading scenario batch B with per-scenario convergence
+masks; scenarios that converge early become no-ops while the rest iterate.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.model import ModelParams, RobotModel
+from ..ocp.costs import CostFunctions
+from ..ocp.spec import ProblemSpec
+from ..ops.batched_costs import make_batched_cost_pack
+from ..ops.batched_dynamics import make_batched_step, make_batched_step_with_derivs
+from .csqp import CSQPSettings
+from .riccati_components import (
+    _chol_lanes,
+    _chol_solve_lanes,
+    _mm,
+    _mm_T1,
+    _mv,
+    _mv_T,
+)
+
+
+class BatchSQPSolution(NamedTuple):
+    xs: jnp.ndarray  # [B, T+1, nx]
+    us: jnp.ndarray  # [B, T, nu]
+    K: jnp.ndarray  # [B, T, nu, nx]
+    k: jnp.ndarray  # [B, T, nu]
+    cost: jnp.ndarray  # [B]
+    kkt: jnp.ndarray  # [B]
+    gap_norm: jnp.ndarray  # [B]
+    constraint_norm: jnp.ndarray  # [B]
+    iters: jnp.ndarray  # [B]
+    qp_iters: jnp.ndarray  # [B]
+    converged: jnp.ndarray  # [B]
+
+
+def _violation(g, lb, ub):
+    return jnp.maximum(jnp.maximum(lb - g, g - ub), 0.0)
+
+
+def make_batch_sqp(
+    model: RobotModel,
+    params: ModelParams,
+    spec: ProblemSpec,
+    cf: CostFunctions,
+    settings: CSQPSettings = CSQPSettings(),
+):
+    """Build `solve(x0s [B,nx], refs, xs [B,T+1,nx], us [B,T,nu])
+    -> BatchSQPSolution` (leaves carry a leading [B]).
+
+    Unconstrained specs get plain multiple-shooting SQP; specs with
+    constraints get the full CSQP ADMM treatment. Multi-resolution horizons
+    supported (per-node dt arrays feed the flattened dynamics dispatch).
+    """
+    if spec.soft_contact is not None:
+        raise NotImplementedError(
+            "batch-native SQP uses rigid-body component dynamics; "
+            "soft-contact specs use the vmapped solve_csqp path")
+    T = spec.horizon
+    nc = cf.n_constraints
+    ts_np = np.asarray(spec.timesteps())
+    step_b = make_batched_step(model, params)
+    step_d = make_batched_step_with_derivs(model, params)
+    n_alphas = settings.n_alphas
+    alphas_np = np.asarray([0.5 ** i for i in range(n_alphas)])
+
+    packed = make_batched_cost_pack(model, params, spec)
+    if packed is not None:
+        cost_derivs_b, _term_pack, stage_cost_b, term_cost_b = packed
+
+        def term_derivs_b(x, refs):
+            from ..ocp.costs import TerminalDerivs
+
+            l, lx, lxx = _term_pack(x, refs)
+            return TerminalDerivs(l, lx, lxx)
+    else:
+        cost_derivs_b = jax.vmap(cf.cost_derivs, in_axes=(0, 0, None, None))
+        term_derivs_b = jax.vmap(cf.terminal_derivs, in_axes=(0, None))
+        stage_cost_b = jax.vmap(cf.stage_cost, in_axes=(0, 0, None, None))
+        term_cost_b = jax.vmap(cf.terminal_cost, in_axes=(0, None))
+
+    constraint_b = (
+        jax.vmap(cf.constraint_derivs, in_axes=(0, 0, None, None))
+        if nc > 0 else None
+    )
+
+    rho = float(settings.rho)
+
+    # ------------------------------------------------------------------
+    # node-parallel evaluations
+    # ------------------------------------------------------------------
+    def eval_costs(xs, us, refs):
+        """xs [T+1,B,nx] time-major -> total stage+terminal cost [B]."""
+        B = xs.shape[1]
+
+        def per_node(x, u, t):
+            return stage_cost_b(x, u, t, refs)
+
+        costs = jax.vmap(per_node)(xs[:-1], us, jnp.arange(T))  # [T, B]
+        return jnp.sum(costs, axis=0) + term_cost_b(xs[-1], refs)
+
+    def eval_gaps(x0s, xs, us, refs):
+        """Exact dynamics defects, ONE flattened dispatch. [T+1,B,nx]."""
+        B = xs.shape[1]
+        nx = xs.shape[2]
+        nu = us.shape[2]
+        x_flat = xs[:-1].reshape(T * B, nx)
+        u_flat = us.reshape(T * B, nu)
+        dts_flat = jnp.repeat(jnp.asarray(ts_np, xs.dtype), B)
+        xnext = step_b(x_flat, u_flat, dts_flat).reshape(T, B, nx)
+        return jnp.concatenate([(x0s - xs[0])[None], xnext - xs[1:]], axis=0)
+
+    def derivs_of(xs, us, refs):
+        B = xs.shape[1]
+        nx = xs.shape[2]
+        nu = us.shape[2]
+        x_flat = xs[:-1].reshape(T * B, nx)
+        u_flat = us.reshape(T * B, nu)
+        dts_flat = jnp.repeat(jnp.asarray(ts_np, xs.dtype), B)
+        xnext, Fx, Fu = step_d(x_flat, u_flat, dts_flat)
+        dyn = (
+            xnext.reshape(T, B, nx),
+            Fx.reshape(T, B, nx, nx),
+            Fu.reshape(T, B, nx, nu),
+        )
+        costs = jax.vmap(
+            lambda x, u, t: cost_derivs_b(x, u, t, refs)
+        )(xs[:-1], us, jnp.arange(T))
+        term = term_derivs_b(xs[-1], refs)
+        return dyn, costs, term
+
+    def constraints_of(xs, us, refs):
+        """[T+1]-node constraint data; terminal keeps terminal-flagged rows
+        (mirror of `csqp.constraint_all`). Time-major [T+1, B, nc, ...]."""
+        B = xs.shape[1]
+        nu = us.shape[2]
+        dtype = xs.dtype
+        g, lb, ub, Gx, Gu = jax.vmap(
+            lambda x, u, t: constraint_b(x, u, t, refs)
+        )(xs[:-1], us, jnp.arange(T))
+        u0 = jnp.zeros((B, nu), dtype)
+        gT, lbT, ubT, GxT, _ = constraint_b(xs[-1], u0, T - 1, refs)
+        rmask = jnp.asarray(cf.terminal_constraint_row_mask)
+        inf = jnp.asarray(jnp.inf, dtype)
+        lbT = jnp.where(rmask, lbT, -inf)
+        ubT = jnp.where(rmask, ubT, inf)
+        g = jnp.concatenate([g, gT[None]])
+        lb = jnp.concatenate([lb, jnp.broadcast_to(lbT, (1, B, nc))])
+        ub = jnp.concatenate([ub, jnp.broadcast_to(ubT, (1, B, nc))])
+        Gx = jnp.concatenate([Gx, GxT[None]])
+        Gu = jnp.concatenate([Gu, jnp.zeros((1, B, nc, nu), dtype)])
+        return g, lb, ub, Gx, Gu
+
+    # ------------------------------------------------------------------
+    # Riccati: factor once, then cheap vector sweeps (mim_solvers trick)
+    # ------------------------------------------------------------------
+    def factor(Fx_t, Fu_t, lxx_t, lxu_t, luu_t, vxx_term, reg):
+        nu = Fu_t.shape[2]
+        dtype = Fx_t.dtype
+        eye_u = jnp.eye(nu, dtype=dtype)[:, :, None]
+
+        def body(Vxx, inp):
+            lxxn, lxun, luun, Fxn, Fun = inp
+            M = _mm(Vxx, Fxn)
+            N = _mm(Vxx, Fun)
+            Qxx = lxxn + _mm_T1(Fxn, M)
+            Qux = jnp.swapaxes(lxun, 0, 1) + _mm_T1(Fun, M)
+            Quu = luun + _mm_T1(Fun, N) + reg[None, None, :] * eye_u
+            Lr = _chol_lanes(Quu, nu)
+            KK = _chol_solve_lanes(Lr, Qux, nu)
+            QK = _mm_T1(Qux, KK)
+            Vxx_new = Qxx - 0.5 * (QK + jnp.swapaxes(QK, 0, 1))
+            Ld = jnp.stack(
+                [jnp.stack([Lr[i][j] if j <= i else jnp.zeros_like(Lr[0][0])
+                            for j in range(nu)]) for i in range(nu)])
+            return Vxx_new, (Ld, KK, Vxx)
+
+        _, (Ls, Ks, Vxx_next) = jax.lax.scan(
+            body, vxx_term,
+            (lxx_t, lxu_t, luu_t, Fx_t, Fu_t),
+            reverse=True)
+        bad = ~(jnp.all(jnp.isfinite(Ls), axis=(0, 1, 2))
+                & jnp.all(jnp.isfinite(Ks), axis=(0, 1, 2)))
+        return Ls, Ks, Vxx_next, bad
+
+    def chol_solve_dense(Ld, rhs, nu):
+        """Solve (L L^T) x = rhs with Ld [nu,nu,B] dense lower, rhs [nu,B]."""
+        y = [None] * nu
+        for i in range(nu):
+            s = rhs[i]
+            for k in range(i):
+                s = s - Ld[i, k] * y[k]
+            y[i] = s / Ld[i, i]
+        x = [None] * nu
+        for i in reversed(range(nu)):
+            s = y[i]
+            for k in range(i + 1, nu):
+                s = s - Ld[k, i] * x[k]
+            x[i] = s / Ld[i, i]
+        return jnp.stack(x)
+
+    def vector_sweep(Ls, Ks, Vxx_next, Fx_t, Fu_t, rx_t, ru_t, rxT, fs_t):
+        """Linear backward (vectors only, cached factors) then forward.
+
+        rx_t [T,nx,B], ru_t [T,nu,B], rxT [nx,B], fs_t [T+1,nx,B].
+        Returns dxs_t [T+1,nx,B], dus_t [T,nu,B], ks_t [T,nu,B],
+        Qus_t [T,nu,B].
+        """
+        nu = Fu_t.shape[2]
+
+        def bwd(Vx, inp):
+            rxn, run, Fxn, Fun, fn, Ld, KK, Vxxn = inp
+            Vxp = Vx + _mv(Vxxn, fn)
+            Qx = rxn + _mv_T(Fxn, Vxp)
+            Qu = run + _mv_T(Fun, Vxp)
+            kk = chol_solve_dense(Ld, Qu, nu)
+            Vx_new = Qx - _mv_T(KK, Qu)
+            return Vx_new, (kk, Qu)
+
+        _, (ks_t, Qus_t) = jax.lax.scan(
+            bwd, rxT,
+            (rx_t, ru_t, Fx_t, Fu_t, fs_t[1:], Ls, Ks, Vxx_next),
+            reverse=True)
+
+        def fwd(dx, inp):
+            kk, KK, Fxn, Fun, fn = inp
+            du = -kk - _mv(KK, dx)
+            dx_next = _mv(Fxn, dx) + _mv(Fun, du) + fn
+            return dx_next, (dx, du)
+
+        dxT, (dxs_t, dus_t) = jax.lax.scan(
+            fwd, fs_t[0], (ks_t, Ks, Fx_t, Fu_t, fs_t[1:]))
+        dxs_t = jnp.concatenate([dxs_t, dxT[None]], axis=0)
+        return dxs_t, dus_t, ks_t, Qus_t
+
+    # ------------------------------------------------------------------
+    # line search: all alphas, node-parallel, exact merit terms
+    # ------------------------------------------------------------------
+    def trial_metrics(x0s, xs, us, dxs, dus, refs):
+        """Returns (cost_a [A,B], infeas_a [A,B]) for the whole ladder in
+        node-parallel dispatches (alpha folded into the batch dim)."""
+        A = n_alphas
+        B = xs.shape[1]
+        nx = xs.shape[2]
+        nu = us.shape[2]
+        dtype = xs.dtype
+        al = jnp.asarray(alphas_np, dtype)[:, None, None, None]  # [A,1,1,1]
+        xs_a = xs[None] + al * dxs[None]  # [A, T+1, B, nx]
+        us_a = us[None] + al * dus[None]
+        xs_f = jnp.moveaxis(xs_a, 0, 1).reshape(T + 1, A * B, nx)
+        us_f = jnp.moveaxis(us_a, 0, 1).reshape(T, A * B, nu)
+        x0_f = jnp.broadcast_to(x0s[None], (A, B, nx)).reshape(A * B, nx)
+        cost_f = eval_costs(xs_f, us_f, refs)  # [A*B]
+        fs_f = eval_gaps(x0_f, xs_f, us_f, refs)  # [T+1, A*B, nx]
+        gap_f = jnp.sum(jnp.abs(fs_f), axis=(0, 2))  # [A*B] (L1, mim-solvers)
+        if nc > 0:
+            g, lb, ub, _, _ = constraints_of(xs_f, us_f, refs)
+            viol_f = jnp.sum(_violation(g, lb, ub), axis=(0, 2))
+        else:
+            viol_f = jnp.zeros_like(gap_f)
+        return (cost_f.reshape(A, B), (gap_f + viol_f).reshape(A, B),
+                xs_a, us_a)
+
+    # ------------------------------------------------------------------
+    def solve(x0s, refs, xs_in, us_in) -> BatchSQPSolution:
+        xs = jnp.swapaxes(xs_in, 0, 1)  # [T+1, B, nx] time-major
+        us = jnp.swapaxes(us_in, 0, 1)
+        B = xs.shape[1]
+        nx = xs.shape[2]
+        nu = us.shape[2]
+        dtype = xs.dtype
+        eps_abs = jnp.asarray(settings.eps_abs, dtype)
+        eps_rel = jnp.asarray(settings.eps_rel, dtype)
+
+        def iteration(carry, _):
+            (xs, us, cost, kkt, converged, iters, qp_total, ks, Ks_d,
+             reg) = carry
+            dyn, costs, term = derivs_of(xs, us, refs)
+            xnext, Fx, Fu = dyn
+            l, lx, lu, lxx, lxu, luu = costs
+            fs = jnp.concatenate(
+                [(x0s - xs[0])[None], xnext - xs[1:]], axis=0)
+            gap_l1 = jnp.sum(jnp.abs(fs), axis=(0, 2))  # [B]
+            gap_inf = jnp.max(jnp.abs(fs), axis=(0, 2))
+
+            # batch-minor relayout (once per iteration)
+            Fx_t = jnp.transpose(Fx, (0, 2, 3, 1))
+            Fu_t = jnp.transpose(Fu, (0, 2, 3, 1))
+            lx_t = jnp.transpose(lx, (0, 2, 1))
+            lu_t = jnp.transpose(lu, (0, 2, 1))
+            lxx_t = jnp.transpose(lxx, (0, 2, 3, 1))
+            lxu_t = jnp.transpose(lxu, (0, 2, 3, 1))
+            luu_t = jnp.transpose(luu, (0, 2, 3, 1))
+            fs_t = jnp.transpose(fs, (0, 2, 1))
+            rxT = jnp.transpose(term.lx)
+            vxxT = jnp.transpose(term.lxx, (1, 2, 0))
+
+            if nc > 0:
+                g, lb, ub, Gx, Gu = constraints_of(xs, us, refs)
+                viol = jnp.sum(_violation(g, lb, ub), axis=(0, 2))  # [B]
+                viol_inf = jnp.max(_violation(g, lb, ub), axis=(0, 2))
+                Gx_t = jnp.transpose(Gx, (0, 2, 3, 1))  # [T+1,nc,nx,B]
+                Gu_t = jnp.transpose(Gu, (0, 2, 3, 1))
+                # rho-augmented quadratics (fixed for this SQP iteration)
+                gtg = lambda A, Bm: jnp.einsum("tcib,tcjb->tijb", A, Bm)
+                lxx_q = lxx_t + rho * gtg(Gx_t[:-1], Gx_t[:-1])
+                lxu_q = lxu_t + rho * gtg(Gx_t[:-1], Gu_t[:-1])
+                luu_q = luu_t + rho * gtg(Gu_t[:-1], Gu_t[:-1])
+                vxx_q = vxxT + rho * _mm_T1(Gx_t[-1], Gx_t[-1])
+            else:
+                viol = jnp.zeros((B,), dtype)
+                viol_inf = jnp.zeros((B,), dtype)
+                lxx_q, lxu_q, luu_q, vxx_q = lxx_t, lxu_t, luu_t, vxxT
+
+            Ls, Ks, Vxx_next, bad = factor(
+                Fx_t, Fu_t, lxx_q, lxu_q, luu_q, vxx_q, reg)
+
+            if nc > 0:
+                # ---- ADMM over the cached factorization ------------------
+                lo = lb - g
+                hi = ub - g
+                lo_t = jnp.transpose(lo, (0, 2, 1))  # [T+1, nc, B]
+                hi_t = jnp.transpose(hi, (0, 2, 1))
+
+                def cvals_t(dxs_t, dus_t):
+                    cx = jnp.sum(Gx_t * dxs_t[:, None, :, :], axis=2)
+                    cu = jnp.sum(Gu_t[:-1] * dus_t[:, None, :, :], axis=2)
+                    return cx + jnp.concatenate(
+                        [cu, jnp.zeros_like(cu[:1])], axis=0)  # [T+1,nc,B]
+
+                def sweep_with(z_t, y_t):
+                    yz = y_t - z_t  # [T+1, nc, B]
+                    rx_t = lx_t + rho * jnp.sum(
+                        Gx_t[:-1] * yz[:-1, :, None, :], axis=1)
+                    ru_t = lu_t + rho * jnp.sum(
+                        Gu_t[:-1] * yz[:-1, :, None, :], axis=1)
+                    rxT_q = rxT + rho * jnp.sum(
+                        Gx_t[-1] * yz[-1, :, None, :], axis=0)
+                    return vector_sweep(
+                        Ls, Ks, Vxx_next, Fx_t, Fu_t, rx_t, ru_t, rxT_q, fs_t)
+
+                z0 = jnp.clip(jnp.zeros((T + 1, nc, B), dtype), lo_t, hi_t)
+                y0 = jnp.zeros((T + 1, nc, B), dtype)
+
+                def admm_body(state):
+                    z, y, dxs_t, dus_t, ks_t, Qus_t, done, n = state
+                    dxs2, dus2, ks2, Qus2 = sweep_with(z, y)
+                    c = cvals_t(dxs2, dus2)
+                    z2 = jnp.clip(c + y, lo_t, hi_t)
+                    y2 = y + c - z2
+                    rp = jnp.max(jnp.abs(c - z2), axis=(0, 1))  # [B]
+                    dz = z2 - z
+                    rd = rho * jnp.maximum(
+                        jnp.max(jnp.abs(jnp.sum(
+                            Gx_t * dz[:, :, None, :], axis=1)), axis=(0, 1)),
+                        jnp.max(jnp.abs(jnp.sum(
+                            Gu_t * dz[:, :, None, :], axis=1)), axis=(0, 1)))
+                    tol = eps_abs + eps_rel * jnp.maximum(
+                        jnp.max(jnp.abs(z2), axis=(0, 1)), 1.0)
+                    # scenarios already done keep their state
+                    keep = done
+                    z_out = jnp.where(keep[None, None, :], z, z2)
+                    y_out = jnp.where(keep[None, None, :], y, y2)
+                    dxs_out = jnp.where(keep[None, None, :], dxs_t, dxs2)
+                    dus_out = jnp.where(keep[None, None, :], dus_t, dus2)
+                    ks_out = jnp.where(keep[None, None, :], ks_t, ks2)
+                    Qus_out = jnp.where(keep[None, None, :], Qus_t, Qus2)
+                    done2 = done | ((rp < tol) & (rd < tol))
+                    n2 = n + (~keep).astype(n.dtype)
+                    return (z_out, y_out, dxs_out, dus_out, ks_out, Qus_out,
+                            done2, n2)
+
+                def admm_cond(state):
+                    done = state[6]
+                    n = state[7]
+                    return (jnp.max(n) < settings.max_qp_iters) & ~jnp.all(done)
+
+                dxs0 = jnp.zeros((T + 1, nx, B), dtype)
+                dus0 = jnp.zeros((T, nu, B), dtype)
+                ks0 = jnp.zeros((T, nu, B), dtype)
+                Qus0 = jnp.zeros((T, nu, B), dtype)
+                state = (z0, y0, dxs0, dus0, ks0, Qus0,
+                         jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
+                (z, y, dxs_t, dus_t, ks_t, Qus_t, qp_done, qp_n) = (
+                    jax.lax.while_loop(admm_cond, admm_body, state))
+            else:
+                dxs_t, dus_t, ks_t, Qus_t = vector_sweep(
+                    Ls, Ks, Vxx_next, Fx_t, Fu_t, lx_t, lu_t, rxT, fs_t)
+                qp_n = jnp.ones((B,), jnp.int32)
+
+            step_bad = bad | ~(
+                jnp.all(jnp.isfinite(dxs_t), axis=(0, 1))
+                & jnp.all(jnp.isfinite(dus_t), axis=(0, 1)))
+            dxs = jnp.transpose(dxs_t, (0, 2, 1))  # [T+1, B, nx]
+            dus = jnp.transpose(dus_t, (0, 2, 1))
+            dxs = jnp.where(step_bad[None, :, None], 0.0, dxs)
+            dus = jnp.where(step_bad[None, :, None], 0.0, dus)
+
+            # ---- filter line search ------------------------------------
+            cost_a, infeas_a, xs_a, us_a = trial_metrics(
+                x0s, xs, us, dxs, dus, refs)
+            infeas0 = gap_l1 + viol
+            finite_a = jnp.isfinite(cost_a) & jnp.isfinite(infeas_a)
+            accept = finite_a & (
+                (cost_a < cost[None])
+                | (infeas_a < infeas0[None] * (1.0 - 1e-8)))  # [A, B]
+            any_accept = jnp.any(accept, axis=0) & ~step_bad  # [B]
+            best = jnp.argmax(accept, axis=0)  # first (largest) alpha
+
+            take = jnp.take_along_axis  # readability
+            xs_best = jnp.moveaxis(
+                take(jnp.moveaxis(xs_a, 2, 0),  # [B, A, T+1, nx]
+                     best[:, None, None, None], axis=1)[:, 0], 0, 1)
+            us_best = jnp.moveaxis(
+                take(jnp.moveaxis(us_a, 2, 0),
+                     best[:, None, None, None], axis=1)[:, 0], 0, 1)
+            cost_best = take(cost_a, best[None], axis=0)[0]
+
+            # practical KKT at the current iterate (pre-step): stationarity
+            # of the QP direction + feasibility (mim_solvers criterion).
+            # A failed factorization keeps the previous value (NaN guard).
+            kkt_raw = jnp.maximum(
+                jnp.max(jnp.abs(Qus_t), axis=(0, 1)),
+                jnp.maximum(gap_inf, viol_inf))
+            kkt_new = jnp.where(step_bad | ~jnp.isfinite(kkt_raw),
+                                kkt, kkt_raw)
+
+            ok = any_accept & ~converged
+            xs_out = jnp.where(ok[None, :, None], xs_best, xs)
+            us_out = jnp.where(ok[None, :, None], us_best, us)
+            cost_out = jnp.where(ok, cost_best, cost)
+            live = ~converged
+            kkt_out = jnp.where(live, kkt_new, kkt)
+            ks_out = jnp.where(live[None, :, None],
+                               jnp.transpose(ks_t, (0, 2, 1)), ks)
+            Ks_out = jnp.where(live[None, :, None, None],
+                               jnp.transpose(Ks, (0, 3, 1, 2)), Ks_d)
+            iters_out = iters + live.astype(iters.dtype)
+            qp_out = qp_total + jnp.where(live, qp_n, 0)
+            conv_out = converged | (live & (kkt_new
+                                            < settings.termination_tolerance))
+            # Levenberg-Marquardt schedule on the Quu regularization: grow on
+            # failed factorizations / rejected steps, shrink on accepts —
+            # required for float32 robustness at long horizons.
+            reg_out = jnp.where(
+                converged, reg,
+                jnp.clip(
+                    jnp.where(any_accept & ~step_bad,
+                              reg / settings.reg_dec,
+                              reg * settings.reg_inc),
+                    settings.reg_min, settings.reg_max))
+            return (xs_out, us_out, cost_out, kkt_out, conv_out, iters_out,
+                    qp_out, ks_out, Ks_out, reg_out), None
+
+        cost0 = eval_costs(xs, us, refs)
+        init = (
+            xs, us, cost0,
+            jnp.full((B,), jnp.inf, dtype),
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((T, B, nu), dtype),
+            jnp.zeros((T, B, nu, nx), dtype),
+            jnp.full((B,), settings.reg_init, dtype),
+        )
+        (xs, us, cost, kkt, converged, iters, qp_total, ks, Ks, _reg), _ = (
+            jax.lax.scan(iteration, init, None, length=settings.max_iters))
+
+        # final feasibility report (node-parallel)
+        fs = eval_gaps(x0s, xs, us, refs)
+        gap_inf = jnp.max(jnp.abs(fs), axis=(0, 2))
+        if nc > 0:
+            g, lb, ub, _, _ = constraints_of(xs, us, refs)
+            cnorm = jnp.max(_violation(g, lb, ub), axis=(0, 2))
+        else:
+            cnorm = jnp.zeros_like(gap_inf)
+        return BatchSQPSolution(
+            xs=jnp.swapaxes(xs, 0, 1),
+            us=jnp.swapaxes(us, 0, 1),
+            K=jnp.swapaxes(Ks, 0, 1),
+            k=jnp.swapaxes(ks, 0, 1),
+            cost=cost,
+            kkt=kkt,
+            gap_norm=gap_inf,
+            constraint_norm=cnorm,
+            iters=iters,
+            qp_iters=qp_total,
+            converged=converged,
+        )
+
+    return solve

@@ -143,7 +143,7 @@ def test_pack_collision_moving_obstacle(panda_env):
     refs = default_references(spec, model, dtype=jnp.float64)
     gid = model.geometry_id("obstacle_sphere")
     refs["geom_rot"] = params.geom_rot
-    refs["geom_trans"] = params.geom_trans.at[gid].set(
+    refs["geom_trans"] = jnp.asarray(params.geom_trans).at[gid].set(
         jnp.asarray([0.1, 0.1, 0.8]))
     pack = make_batched_cost_pack(model, params, spec)
     cost_derivs_b = pack[0]

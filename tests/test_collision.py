@@ -102,7 +102,7 @@ def test_environment_obstacle_distance():
     assert np.isfinite(float(d))
     # moving the obstacle far away must increase the distance
     far = params._replace(
-        geom_trans=params.geom_trans.at[model.geometry_id("obstacle_sphere")].set(
+        geom_trans=jnp.asarray(params.geom_trans).at[model.geometry_id("obstacle_sphere")].set(
             jnp.asarray([5.0, 5.0, 5.0])))
     d_far = collision.pair_distance(model, far, q, 0)
     assert float(d_far) > float(d) + 1.0
