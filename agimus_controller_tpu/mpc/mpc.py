@@ -1,17 +1,18 @@
 """MPC orchestrator: the per-tick receding-horizon pipeline.
 
-Reference: `MPC` (`mpc.py:14-95`). Semantics preserved: buffer-sufficiency
-guard, horizon extraction at `horizon_indexes`, reference update, warm start,
-solve, previous-solution update, buffer head pop, and the four ns-phase
-timers surfaced in `MPCDebugData` (`mpc.py:32-66`). The known reference
-defect `time_ns += int(dt*1e-9)` (`mpc.py:77`, SURVEY.md known defects) is
-fixed to `int(dt*1e9)`.
+Functional contract of the reference `MPC` (`mpc.py:14-95`): consume the
+reference buffer's horizon, update OCP references, warm-start, solve, store
+the previous solution, drop the consumed head, and expose nanosecond phase
+timings. Structured here as an explicit phase pipeline — each tick phase is
+a named method timed by `_timed`, so the debug data is assembled from the
+phase table instead of inline stopwatch bookkeeping. The known reference
+defect `time_ns += int(dt*1e-9)` (`mpc.py:77`) is not replicated.
 """
 
 from __future__ import annotations
 
 import time
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -22,11 +23,17 @@ from .warm_start import WarmStartBase
 
 
 class MPC:
+    """Receding-horizon driver over (OCP backend, warm start, buffer)."""
+
+    #: tick phases, in order; each maps to duration_<name>_ns debug fields
+    _PHASES = ("horizon_update", "generate_warm_start", "ocp_solve")
+
     def __init__(self) -> None:
         self._ocp: Optional[OCPBase] = None
         self._warm_start: Optional[WarmStartBase] = None
         self._buffer: Optional[TrajectoryBuffer] = None
         self._mpc_debug_data: Optional[MPCDebugData] = None
+        self._phase_ns = dict.fromkeys(self._PHASES, 0)
 
     def setup(
         self,
@@ -37,41 +44,68 @@ class MPC:
         self._ocp = ocp
         self._warm_start = warm_start
         self._buffer = buffer
-        self._mpc_debug_data = MPCDebugData(ocp=self._ocp.debug_data)
+        self._mpc_debug_data = MPCDebugData(ocp=ocp.debug_data)
 
-    def run(self, initial_state: TrajectoryPoint, current_time_ns: int) -> Optional[OCPResults]:
-        assert self._ocp is not None
-        assert self._warm_start is not None
-        timer1 = time.perf_counter_ns()
+    # ------------------------------------------------------------------
+    def _timed(self, phase: str, fn, *args):
+        t0 = time.perf_counter_ns()
+        out = fn(*args)
+        self._phase_ns[phase] = time.perf_counter_ns() - t0
+        return out
 
-        if len(self._buffer) < self._ocp.n_controls + 1:
-            return None
-        reference_trajectory = self._buffer.horizon
-        self._ocp.set_reference_weighted_trajectory(reference_trajectory)
-        timer2 = time.perf_counter_ns()
+    def _phase_horizon(self):
+        horizon = self._buffer.horizon
+        self._ocp.set_reference_weighted_trajectory(horizon)
+        return horizon
 
-        reference_points = [el.point for el in reference_trajectory]
-        x0, x_init, u_init = self._warm_start.generate(initial_state, reference_points)
-        assert len(x_init) == self._ocp.n_controls + 1
-        assert len(u_init) == self._ocp.n_controls
-        timer3 = time.perf_counter_ns()
+    def _phase_warm_start(self, initial_state, horizon):
+        points = [wp.point for wp in horizon]
+        x0, x_init, u_init = self._warm_start.generate(initial_state, points)
+        n = self._ocp.n_controls
+        if len(x_init) != n + 1 or len(u_init) != n:
+            raise ValueError(
+                f"warm start shape mismatch: {len(x_init)} states / "
+                f"{len(u_init)} controls for an {n}-control horizon")
+        return points, x0, x_init, u_init
 
+    def _phase_solve(self, x0, x_init, u_init):
         self._ocp.solve(x0, x_init, u_init)
         self._warm_start.update_previous_solution(self._ocp.ocp_results)
         self._buffer.clear_past()
-        timer4 = time.perf_counter_ns()
-
-        self._mpc_debug_data.ocp = self._ocp.debug_data
-        self._mpc_debug_data.reference_id = reference_points[0].id
-        self._mpc_debug_data.duration_iteration_ns = timer4 - timer1
-        self._mpc_debug_data.duration_horizon_update_ns = timer2 - timer1
-        self._mpc_debug_data.duration_generate_warm_start_ns = timer3 - timer2
-        self._mpc_debug_data.duration_ocp_solve_ns = timer4 - timer3
         return self._ocp.ocp_results
 
-    def integrate(self, state: TrajectoryPoint, control: np.ndarray) -> TrajectoryPoint:
-        """Advance a state one OCP dt (constant-delay compensation path,
-        reference `mpc.py:68-83` / `agimus_controller.py:518-523`)."""
+    def run(self, initial_state: TrajectoryPoint,
+            current_time_ns: int) -> Optional[OCPResults]:
+        """One control tick; None while the buffer cannot fill a horizon."""
+        if self._ocp is None or self._warm_start is None:
+            raise RuntimeError("MPC.setup() was never called")
+        if len(self._buffer) < self._ocp.n_controls + 1:
+            return None
+
+        tick0 = time.perf_counter_ns()
+        horizon = self._timed("horizon_update", self._phase_horizon)
+        points, x0, x_init, u_init = self._timed(
+            "generate_warm_start", self._phase_warm_start,
+            initial_state, horizon)
+        results = self._timed("ocp_solve", self._phase_solve,
+                              x0, x_init, u_init)
+
+        dbg = self._mpc_debug_data
+        dbg.ocp = self._ocp.debug_data
+        dbg.reference_id = points[0].id
+        dbg.duration_iteration_ns = time.perf_counter_ns() - tick0
+        dbg.duration_horizon_update_ns = self._phase_ns["horizon_update"]
+        dbg.duration_generate_warm_start_ns = (
+            self._phase_ns["generate_warm_start"])
+        dbg.duration_ocp_solve_ns = self._phase_ns["ocp_solve"]
+        return results
+
+    # ------------------------------------------------------------------
+    def integrate(self, state: TrajectoryPoint,
+                  control: np.ndarray) -> TrajectoryPoint:
+        """Advance a state one OCP dt through the node-0 action model
+        (constant-delay compensation, reference `mpc.py:68-83` /
+        `agimus_controller.py:518-523`)."""
         x = self._ocp.integrate(state.robot_state, control)
         nq = len(state.robot_configuration)
         state.time_ns += int(self._ocp.dt * 1e9)
@@ -83,8 +117,9 @@ class MPC:
     def mpc_debug_data(self) -> MPCDebugData:
         return self._mpc_debug_data
 
-    def append_trajectory_point(self, trajectory_point: WeightedTrajectoryPoint):
-        self._buffer.append(trajectory_point)
+    def append_trajectory_point(self, point: WeightedTrajectoryPoint):
+        self._buffer.append(point)
 
-    def append_trajectory_points(self, trajectory_points: List[WeightedTrajectoryPoint]):
-        self._buffer.extend(trajectory_points)
+    def append_trajectory_points(
+            self, points: Sequence[WeightedTrajectoryPoint]):
+        self._buffer.extend(points)

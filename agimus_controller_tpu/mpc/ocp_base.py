@@ -165,6 +165,7 @@ class OCPJax(OCPBase):
         # visual-servoing transform staleness bookkeeping (reference
         # `agimus_controller.py:306-338` + `ocp_croco_generic.py:463-467`)
         self._transform_stamp_ns: Dict[str, int] = {}
+        self._row_layout = None
         self._vs_items = tuple(
             (c.object_frame, c.frame)
             for c in (tuple(spec.running_costs) + tuple(spec.terminal_costs))
@@ -194,115 +195,39 @@ class OCPJax(OCPBase):
         return self._refs
 
     # ------------------------------------------------------------------
+    @property
+    def row_layout(self):
+        """Packed per-point row layout (lazy; shared with `RefRing`)."""
+        if self._row_layout is None:
+            from .ring import RowLayout
+
+            self._row_layout = RowLayout(self._spec, self._model)
+        return self._row_layout
+
     def set_reference_weighted_trajectory(
         self, reference_weighted_trajectory: List[WeightedTrajectoryPoint]
     ):
         """Pack the horizon's references/weights into device arrays
         (replaces the per-node `update()` mutation loop,
-        `ocp_croco_generic.py:855-892`)."""
+        `ocp_croco_generic.py:855-892`). Each point is flattened into one
+        packed row, then the refs arrays are sliced out of the row matrix —
+        the same layout the device-resident `RefRing` ships, so the host
+        path and the ring path cannot diverge."""
         pts = reference_weighted_trajectory
         T1 = self._spec.horizon + 1
         assert len(pts) == T1, f"expected {T1} horizon points, got {len(pts)}"
-        refs = dict(self._refs)
+        layout = self.row_layout
         np_dtype = np.dtype(jnp.dtype(self._dtype).name)
-
-        def stack(get, shape):
-            out = np.zeros((T1,) + shape, dtype=np_dtype)
-            for t, wp in enumerate(pts):
-                val = get(wp)
-                if val is not None:
-                    out[t] = val
-            return out
-
-        nxs = self._spec.state_dim(self._model)
-        if "xref" in refs:
-            def xref_of(wp):
-                x = wp.point.robot_state
-                return np.concatenate([x, np.zeros(nxs - len(x))]) if len(x) < nxs else x
-
-            def wx_of(wp):
-                w = wp.weights.w_robot_state
-                return np.concatenate([w, np.zeros(nxs - len(w))]) if len(w) < nxs else w
-
-            refs["xref"] = jnp.asarray(stack(xref_of, (nxs,)))
-            refs["w_x"] = jnp.asarray(stack(wx_of, (nxs,)))
-        if "uref" in refs:
-            refs["uref"] = jnp.asarray(stack(lambda wp: wp.point.robot_effort, (self._model.nv,)))
-            refs["w_u"] = jnp.asarray(stack(lambda wp: wp.weights.w_robot_effort, (self._model.nv,)))
-        if "w_coll" in refs:
-            refs["w_coll"] = jnp.asarray(stack(
-                lambda wp: wp.weights.w_collision_avoidance, ()))
-
-        if self._spec.soft_contact is not None:
-            # desired force + activation from the streamed wrench/weights
-            # (reference per-tick `dam.f_des/f_weight/active_contact` update,
-            # `ocp_croco_generic_force_feedback.py:141-155`)
-            sc = self._spec.soft_contact
-            mask = list(sc.mask_indices())
-            ncf = sc.nc
-            f_des = np.zeros((T1, ncf), dtype=np_dtype)
-            w_f = np.zeros((T1, ncf), dtype=np_dtype)
-            active = np.zeros((T1,), dtype=np_dtype)
-            for t, wp in enumerate(pts):
-                forces = wp.point.forces or {}
-                wforces = wp.weights.w_forces or {}
-                fv = forces.get(sc.frame)
-                wv = wforces.get(sc.frame)
-                if fv is not None:
-                    f_des[t] = np.asarray(fv)[3:6][mask]  # [n; f] -> linear
-                if wv is not None:
-                    w_sel = np.asarray(wv)[:3][mask]
-                    w_f[t] = w_sel
-                    active[t] = 1.0 if np.sum(np.abs(w_sel)) > 1e-9 else 0.0
-            refs["f_des"] = jnp.asarray(f_des)
-            refs["w_force"] = jnp.asarray(w_f)
-            refs["contact_active"] = jnp.asarray(active)
-
-        def ee_entry(dct, frame):
-            """Reference semantics: match by frame name; if the point carries
-            exactly one EE entry, use it (`ocp_croco_generic.py:198-221`
-            dynamic-id path)."""
-            if dct is None:
-                return None
-            if frame in dct:
-                return dct[frame]
-            if len(dct) == 1:
-                return next(iter(dct.values()))
-            return None
-
-        for key in list(refs):
-            if key.startswith("ee_rot:"):
-                frame = key.split(":", 1)[1]
-                rots = np.tile(np.eye(3, dtype=np_dtype), (T1, 1, 1))
-                trans = np.zeros((T1, 3), dtype=np_dtype)
-                w = np.zeros((T1, 6), dtype=np_dtype)
-                for t, wp in enumerate(pts):
-                    pose = ee_entry(wp.point.end_effector_poses, frame)
-                    if pose is not None:
-                        rots[t], trans[t] = pose[0], pose[1]
-                    wv = ee_entry(wp.weights.w_end_effector_poses, frame)
-                    if wv is not None:
-                        # wire order [trans(3), rot(3)] -> twist order [rot, trans]
-                        w[t, :3], w[t, 3:] = wv[3:], wv[:3]
-                refs[key] = jnp.asarray(rots)
-                refs[f"ee_trans:{frame}"] = jnp.asarray(trans)
-                refs[f"w_ee:{frame}"] = jnp.asarray(w)
-                # host copy kept for staleness checks (avoids device->host
-                # reads on the control path)
-                self._host_refs[f"w_ee:{frame}"] = w
-            elif key.startswith("ee_vel:"):
-                frame = key.split(":", 1)[1]
-                vel = np.zeros((T1, 6), dtype=np_dtype)
-                w = np.zeros((T1, 6), dtype=np_dtype)
-                for t, wp in enumerate(pts):
-                    vv = ee_entry(wp.point.end_effector_velocities, frame)
-                    if vv is not None:
-                        vel[t] = vv
-                    wv = ee_entry(wp.weights.w_end_effector_velocities, frame)
-                    if wv is not None:
-                        w[t, :3], w[t, 3:] = wv[3:], wv[:3]
-                refs[key] = jnp.asarray(vel)
-                refs[f"w_ee_vel:{frame}"] = jnp.asarray(w)
+        rows = np.zeros((T1, layout.width), np_dtype)
+        for t, wp in enumerate(pts):
+            layout.pack_point(wp, out=rows[t])
+        refs = layout.unpack_refs(jnp.asarray(rows), self._refs)
+        # host copies kept for staleness checks (no device reads on the
+        # control path)
+        for frame in layout._frames:
+            fl = layout._by_key[f"w_ee:{frame}"]
+            self._host_refs[f"w_ee:{frame}"] = (
+                rows[:, fl.offset:fl.offset + fl.size])
         self._refs = refs
 
     def set_transform(

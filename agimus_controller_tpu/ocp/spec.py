@@ -99,7 +99,11 @@ class ConstraintItem:
     frame: Optional[str] = None
     pair_id: Optional[int] = None
     reference_frame: str = "world"
-    terminal: bool = False  # also enforced at the terminal node
+    # also enforced at the terminal node — the reference's
+    # `active_on_terminal_node` DEFAULTS TO TRUE (`ocp_croco_generic.py:598`);
+    # without this a collision keep-away band leaves the last node free to
+    # penetrate (the running nodes ride the bound, the terminal dives).
+    terminal: bool = True
 
     def residual_dim(self, model: RobotModel, nc: int = 0) -> int:
         if self.kind == "control_limit":

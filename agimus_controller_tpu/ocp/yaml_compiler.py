@@ -131,7 +131,9 @@ def _parse_constraint(entry: dict, model: RobotModel, default_ee_frame) -> Const
     if kind is None:
         raise ValueError(f"unknown constraint residual class {rcls!r}")
     kwargs = dict(name=entry["name"], kind=kind,
-                  terminal=bool(node.get("terminal", False)))
+                  terminal=bool(node.get(
+                      "active_on_terminal_node",
+                      node.get("terminal", True))))  # ref default: True
     if kind.startswith("frame_"):
         kwargs["frame"] = _frame_name(res, model, default_ee_frame)
     if kind == "collision_distance":

@@ -113,6 +113,24 @@ def _quat_c(R):
     return tuple(o / n for o in out)
 
 
+def _atan2_unit_fq(s, c):
+    """atan2(s, c) restricted to the first quadrant of the unit circle
+    (s, c >= 0, s^2 + c^2 = 1) without the `atan2` primitive — Pallas TPU
+    has no inverse-trig lowering. Three exact half-angle reductions map the
+    angle into [0, pi/8] where an odd Taylor to w^19 is ~2e-16 accurate:
+
+        t = tan(phi/2) = s / (1 + c),   u = tan(phi/4),  w = tan(phi/8)
+    """
+    t = s / (1.0 + c)
+    u = t / (1.0 + jnp.sqrt(1.0 + t * t))
+    w = u / (1.0 + jnp.sqrt(1.0 + u * u))
+    w2 = w * w
+    S = -1.0 / 19.0
+    for d in (17.0, -15.0, 13.0, -11.0, 9.0, -7.0, 5.0, -3.0, 1.0):
+        S = 1.0 / d + w2 * S
+    return 8.0 * w * S  # phi = 8 * atan(w)
+
+
 def _log3_c(R):
     """SO(3) log, component form (quaternion/atan2 route of `spatial.log3`)."""
     qx, qy, qz, qw = _quat_c(R)
@@ -120,9 +138,13 @@ def _log3_c(R):
     qx, qy, qz = qx * sign, qy * sign, qz * sign
     c = jnp.abs(qw)
     s2 = qx * qx + qy * qy + qz * qz
-    small = s2 < 1e-12
+    # float32-robust branch: s2 carries ~1e-12 of rounding noise near the
+    # identity, and theta/s vs its 2/c limit agree to ~s2 there — a 1e-8
+    # threshold keeps the Jacobian branch choice deterministic across
+    # backends (XLA vs pallas) without losing accuracy
+    small = s2 < 1e-8
     s = jnp.sqrt(jnp.where(small, jnp.ones_like(s2), s2))
-    theta = 2.0 * jnp.arctan2(s, c)
+    theta = 2.0 * _atan2_unit_fq(s, c)
     scale = jnp.where(small, 2.0 / c, theta / s)
     return (scale * qx, scale * qy, scale * qz)
 

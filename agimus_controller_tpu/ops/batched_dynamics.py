@@ -106,15 +106,19 @@ class _StaticModel:
         self.nj = model.nj
         self.parents = model.parents
         self.types = model.joint_types
-        p = lambda a: np.asarray(a, dtype=np.float64)
-        self.joint_rot = [tuple(p(params.joint_rot[i]).reshape(-1)) for i in range(model.nj)]
-        self.joint_trans = [tuple(p(params.joint_trans[i])) for i in range(model.nj)]
-        self.axis = [tuple(p(params.axis[i])) for i in range(model.nj)]
+        # plain Python floats (weak-typed): np.float64 scalars would promote
+        # float32 tiles to float64 under jax_enable_x64 — fatal inside pallas
+        # kernels (dtype-mismatched vjp) and slow everywhere else
+        p = lambda a: tuple(
+            float(v) for v in np.asarray(a, dtype=np.float64).reshape(-1))
+        self.joint_rot = [p(params.joint_rot[i]) for i in range(model.nj)]
+        self.joint_trans = [p(params.joint_trans[i]) for i in range(model.nj)]
+        self.axis = [p(params.axis[i]) for i in range(model.nj)]
         self.mass = [float(params.mass[i]) for i in range(model.nj)]
-        self.com = [tuple(p(params.com[i])) for i in range(model.nj)]
-        self.inertia = [tuple(p(params.inertia[i]).reshape(-1)) for i in range(model.nj)]
+        self.com = [p(params.com[i]) for i in range(model.nj)]
+        self.inertia = [p(params.inertia[i]) for i in range(model.nj)]
         self.armature = [float(params.armature[i]) for i in range(model.nj)]
-        self.gravity = tuple(p(params.gravity))
+        self.gravity = p(params.gravity)
 
 
 def _joint_X(sm: _StaticModel, i: int, qi):

