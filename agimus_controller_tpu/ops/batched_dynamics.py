@@ -584,3 +584,37 @@ def make_batched_step_with_derivs(model: RobotModel, params: ModelParams,
         return x_next, Fx, Fu
 
     return f
+
+
+def make_batched_soft_step(model: RobotModel, params: ModelParams, sc):
+    """Augmented-state (x = [q; v; f]) batched step for soft-contact specs
+    (force_feedback_mpc `IAMSoftContactAugmented` semantics,
+    `ocp/ocp_croco_generic_force_feedback.py:161-215`).
+
+    Returns `step(x [B,nx+nc], u [B,nu], dt [B], active [B]) -> x_next`.
+    vmapped over the single-sample kernel: the augmented dynamics needs the
+    contact-frame Jacobian chain, which isn't worth a bespoke component
+    layout at current force-feedback problem sizes.
+    """
+    from .soft_contact import soft_contact_step
+
+    def step1(x, u, d, a):
+        return soft_contact_step(model, params, sc, x, u, d, a)
+
+    return jax.vmap(step1)
+
+
+def make_batched_soft_step_with_derivs(model: RobotModel,
+                                       params: ModelParams, sc):
+    """`f(x, u, dt, active) -> (x_next, Fx, Fu)` on the augmented state."""
+    from .soft_contact import soft_contact_step
+
+    def step1(x, u, d, a):
+        return soft_contact_step(model, params, sc, x, u, d, a)
+
+    def f1(x, u, d, a):
+        xn = step1(x, u, d, a)
+        Fx, Fu = jax.jacfwd(step1, argnums=(0, 1))(x, u, d, a)
+        return xn, Fx, Fu
+
+    return jax.vmap(f1)

@@ -100,14 +100,38 @@ def sharded_batch_csqp(model, params, spec, cf, settings, mesh: Mesh,
     return jax.jit(sharded)
 
 
+def sharded_batch_sqp(model, params, spec, cf, settings, mesh: Mesh,
+                      axis_name: str = "batch", backend: str = "auto"):
+    """The latency solver (multiple-shooting SQP/CSQP, `solver/sqp_batch.py`)
+    sharded over the mesh. Constrained specs get the full ADMM treatment;
+    scenarios are data-parallel so collectives stay on the scalar
+    convergence reductions."""
+    from ..solver.sqp_batch import make_batch_sqp
+
+    solve = make_batch_sqp(model, params, spec, cf, settings, backend=backend)
+    spec_b = NamedSharding(mesh, P(axis_name))
+    spec_r = NamedSharding(mesh, P())
+
+    def sharded(x0s, refs, xs0, us0):
+        x0s = jax.lax.with_sharding_constraint(x0s, spec_b)
+        xs0 = jax.lax.with_sharding_constraint(xs0, spec_b)
+        us0 = jax.lax.with_sharding_constraint(us0, spec_b)
+        refs = {k: jax.lax.with_sharding_constraint(v, spec_r) for k, v in refs.items()}
+        return solve(x0s, refs, xs0, us0)
+
+    return jax.jit(sharded)
+
+
 def sharded_batch_fddp(model, params, spec, cf, settings, mesh: Mesh,
-                       axis_name: str = "batch"):
+                       axis_name: str = "batch", riccati: str = "component"):
     """Batch-native FDDP sharded over the mesh: the scenario axis is data
     parallel across chips (DCN across hosts, ICI within a slice); solves are
-    independent so XLA keeps every per-scenario op local — linear scaling."""
+    independent so XLA keeps every per-scenario op local — linear scaling.
+    ``riccati="pscan"`` selects the horizon-parallel associative-scan
+    backward sweep (the sequence-parallel analog, SURVEY.md §5)."""
     from ..solver.fddp_batch import make_batch_fddp
 
-    solve = make_batch_fddp(model, params, spec, cf, settings)
+    solve = make_batch_fddp(model, params, spec, cf, settings, riccati=riccati)
     spec_b = NamedSharding(mesh, P(axis_name))
     spec_r = NamedSharding(mesh, P())
 

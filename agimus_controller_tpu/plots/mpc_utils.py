@@ -111,12 +111,36 @@ def plot_mpc_results(
         [f"u{j}" for j in range(plot_data["u_applied"].shape[1])],
     )
     if model is not None and ee_frame is not None:
+        from .pin_utils import get_rpy_, get_w_
+
         p_meas = get_p_(plot_data["q_measured"], model, params, ee_frame)
         N, T1 = plot_data["xs_pred"].shape[:2]
-        p_pred = get_p_(
-            plot_data["xs_pred"][..., :nq].reshape(N * T1, nq), model, params,
-            ee_frame).reshape(N, T1, 3)
+        q_pred_flat = plot_data["xs_pred"][..., :nq].reshape(N * T1, nq)
+        v_pred_flat = plot_data["xs_pred"][..., nq:2 * nq].reshape(N * T1, nq)
+        p_pred = get_p_(q_pred_flat, model, params, ee_frame).reshape(N, T1, 3)
         assemble("ee position", p_meas, p_pred, ["x", "y", "z"])
+        # EE angular figure suite (reference `plot_mpc_ee_angular`,
+        # `plots/mpc_utils.py:1116`): orientation as RPY + angular velocity
+        rpy_meas = get_rpy_(plot_data["q_measured"], model, params, ee_frame)
+        rpy_pred = get_rpy_(q_pred_flat, model, params,
+                            ee_frame).reshape(N, T1, 3)
+        assemble("ee orientation rpy", rpy_meas, rpy_pred,
+                 ["roll", "pitch", "yaw"])
+        w_meas = get_w_(plot_data["q_measured"], plot_data["v_measured"],
+                        model, params, ee_frame)
+        w_pred = get_w_(q_pred_flat, v_pred_flat, model, params,
+                        ee_frame).reshape(N, T1, 3)
+        assemble("ee angular velocity", w_meas, w_pred, ["wx", "wy", "wz"])
+    # force figure suite (reference `plot_mpc_force`, `plots/mpc_utils.py:1321`):
+    # present when the state is force-augmented (x = [q; v; f], soft contact)
+    nx = plot_data["xs_pred"].shape[2]
+    ncf = nx - 2 * nq
+    if ncf > 0:
+        f_pred = plot_data["xs_pred"][..., 2 * nq:]
+        f_meas = f_pred[:, 0, :]
+        assemble("ee contact force", f_meas, f_pred,
+                 [f"f{ax}" for ax in ("x", "y", "z")[:ncf]] if ncf <= 3
+                 else [f"f{j}" for j in range(ncf)])
     return figures
 
 

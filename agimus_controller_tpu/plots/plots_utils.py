@@ -79,7 +79,8 @@ def plot_mpc_data(
       collision_distances [N, n_pairs], state_predictions [N, T+1, nx],
       control_predictions [N, T, nu].
     """
-    which = which_plots or ["computation_time", "collision_distance", "iter"]
+    which = which_plots or [
+        "computation_time", "collision_distance", "iter", "visual_servoing"]
     t = np.asarray(mpc_data.get("time", np.arange(len(mpc_data.get("solve_time_ns", [])))))
 
     if "computation_time" in which and "solve_time_ns" in mpc_data:
@@ -103,6 +104,28 @@ def plot_mpc_data(
         plot_values(
             "iter", vals, t, labels=["kkt", "iters", "qp_iters"],
             semilogs=[True, False, False], dump_path=dump_path, show=show,
+        )
+    if "visual_servoing" in which and (
+            "vs_state" in mpc_data or "vs_weights" in mpc_data):
+        # reference `plot_mpc_data` visual-servoing section
+        # (`plots_utils.py:148-293`): reconstructed state-machine phase
+        # (IDLE / USING_VISUAL_SERVOING / COMING_BACK_TO_IDLE) + the tanh
+        # translation-weight ramp over the run
+        series = []
+        labels = []
+        if "vs_state" in mpc_data:
+            series.append(np.asarray(mpc_data["vs_state"], dtype=float))
+            labels.append("vs state (0=idle 1=vs 2=return)")
+        if "vs_weights" in mpc_data:
+            w = np.asarray(mpc_data["vs_weights"])
+            if w.ndim == 1:
+                w = w[:, None]
+            for j in range(w.shape[1]):
+                series.append(w[:, j])
+                labels.append(f"vs weight {j}")
+        plot_values(
+            "visual servoing", np.stack(series, axis=1), t, labels=labels,
+            dump_path=dump_path, show=show,
         )
     if "predictions" in which and "state_predictions" in mpc_data:
         xs = np.asarray(mpc_data["state_predictions"])  # [N, T+1, nx]

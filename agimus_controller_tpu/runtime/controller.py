@@ -34,6 +34,23 @@ from ..mpc.warm_start import WarmStartBase
 logger = logging.getLogger(__name__)
 
 
+class _Throttle:
+    """Rate-limit a log channel (the reference's ROS
+    `throttle_duration_sec=` warnings, e.g. `agimus_controller.py:494-502`)."""
+
+    def __init__(self, period_s: float = 1.0):
+        self.period_s = period_s
+        self._last: dict = {}
+
+    def ok(self, key: str, now_s: Optional[float] = None) -> bool:
+        now_s = time.monotonic() if now_s is None else now_s
+        last = self._last.get(key)
+        if last is not None and now_s - last < self.period_s:
+            return False
+        self._last[key] = now_s
+        return True
+
+
 @dataclasses.dataclass
 class Sensor:
     """Robot state sample (the `linear_feedback_controller_msgs` Sensor
@@ -60,6 +77,12 @@ class RuntimeParams:
     publish_debug_data: bool = True
     start_ratio: float = 2.0  # buffer gate to start (x horizon time)
     warn_ratio: float = 1.5
+    warn_throttle_s: float = 1.0  # rate limit for repeated warnings
+    # degradation policy when the solver reports problem_solved=False:
+    # "publish" (reference behavior — torque goes out regardless,
+    # `ocp_base_croco.py:136` is recorded but unused) or "hold" (re-emit the
+    # last good control and skip updating the feedback linearization)
+    on_unsolved: str = "publish"
 
 
 class ControllerRuntime:
@@ -83,8 +106,13 @@ class ControllerRuntime:
         self.initialized = False
         self.control_callbacks: List[Callable[[Control], None]] = []
         self.solve_time_callbacks: List[Callable[[float], None]] = []
+        # buffer-occupancy telemetry (the reference publishes the size each
+        # tick on `/mpc_buffer_size`, `agimus_controller.py:453-454`)
+        self.buffer_size_callbacks: List[Callable[[int], None]] = []
         self.last_control: Optional[Control] = None
         self.last_solve_time: Optional[float] = None
+        self.last_problem_solved: Optional[bool] = None
+        self._throttle = _Throttle(self.params.warn_throttle_s)
 
     # ------------------------------------------------------------------
     def set_sensor(self, sensor: Sensor) -> None:
@@ -154,16 +182,19 @@ class ControllerRuntime:
         if not self.buffer_has_enough_data(self.params.warn_ratio):
             needed = self._buffer.horizon_indexes[-1] + 1
             if len(self._buffer) >= needed:
-                logger.warning(
-                    "MPC buffer size becomes low (%d points)", len(self._buffer)
-                )
+                if self._throttle.ok("buffer_low"):
+                    logger.warning(
+                        "MPC buffer size becomes low (%d points)",
+                        len(self._buffer))
             else:
-                logger.error(
-                    "MPC buffer underrun (%d points); padding with last point",
-                    len(self._buffer),
-                )
+                if self._throttle.ok("buffer_underrun"):
+                    logger.error(
+                        "MPC buffer underrun (%d points); padding with "
+                        "last point", len(self._buffer))
                 while len(self._buffer) < needed:
                     self._buffer.append(self._buffer[len(self._buffer) - 1])
+        for cb in self.buffer_size_callbacks:
+            cb(len(self._buffer))
 
         # stale-TF cutoff + VS-weight invariant (reference
         # `agimus_controller.py:306-338`, `ocp_croco_generic.py:463-467`)
@@ -187,6 +218,26 @@ class ControllerRuntime:
         self.last_solve_time = time.perf_counter() - start
         for cb in self.solve_time_callbacks:
             cb(self.last_solve_time)
+
+        # degradation policy on an unconverged solve: the reference records
+        # `problem_solved` but publishes regardless (`ocp_base_croco.py:136`);
+        # here the policy is explicit — warn always, optionally hold the
+        # last good control instead of publishing a diverged one.
+        dbg = self._mpc.mpc_debug_data
+        solved = bool(dbg.ocp.problem_solved) if dbg is not None else True
+        self.last_problem_solved = solved
+        if not solved:
+            if self._throttle.ok("unsolved"):
+                logger.warning(
+                    "OCP did not converge this tick (kkt=%s)",
+                    getattr(dbg.ocp, "kkt_norm", None))
+            if self.params.on_unsolved == "hold" and \
+                    self.last_control is not None:
+                if self.params.constant_delay:
+                    self._prev_res = None
+                for cb in self.control_callbacks:
+                    cb(self.last_control)
+                return self.last_control
 
         if self.params.constant_delay:
             self._prev_res = res

@@ -44,14 +44,39 @@ def make_batch_csqp(
 ):
     """Build `solve(x0s [B,nx], refs, xs [B,T+1,nx], us [B,T,nu]) ->
     CSQPSolution` with a leading [B] on every leaf."""
-    if spec.soft_contact is not None:
-        raise NotImplementedError(
-            "batch-native solver uses rigid-body component dynamics; "
-            "soft-contact specs must use the vmapped solve_csqp path")
     T = spec.horizon
     ts_np = spec.timesteps()
-    step_b = make_batched_step(model, params)
-    step_d = make_batched_step_with_derivs(model, params)
+    soft = spec.soft_contact is not None
+    if soft:
+        from ..ops.batched_dynamics import (
+            make_batched_soft_step,
+            make_batched_soft_step_with_derivs,
+        )
+
+        step_b = make_batched_soft_step(model, params, spec.soft_contact)
+        step_d = make_batched_soft_step_with_derivs(
+            model, params, spec.soft_contact)
+    else:
+        step_b = make_batched_step(model, params)
+        step_d = make_batched_step_with_derivs(model, params)
+
+    def dyn_step(x, u, dts, t_idx, refs):
+        """Rigid (x,u,dt) or force-augmented step with per-node contact
+        activation from refs (runtime array, not object mutation)."""
+        if soft:
+            act = jnp.broadcast_to(
+                refs["contact_active"][t_idx], x.shape[:1]).astype(x.dtype)
+            d = jnp.broadcast_to(jnp.asarray(dts, x.dtype), x.shape[:1])
+            return step_b(x, u, d, act)
+        return step_b(x, u, dts)
+
+    def dyn_derivs(x, u, dts, t_idx, refs):
+        if soft:
+            act = jnp.broadcast_to(
+                refs["contact_active"][t_idx], x.shape[:1]).astype(x.dtype)
+            d = jnp.broadcast_to(jnp.asarray(dts, x.dtype), x.shape[:1])
+            return step_d(x, u, d, act)
+        return step_d(x, u, dts)
     nc = cf.n_constraints
     n_alphas = settings.n_alphas
     alphas_np = [0.5**i for i in range(n_alphas)]

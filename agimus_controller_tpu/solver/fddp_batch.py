@@ -66,15 +66,39 @@ def make_batch_fddp(
     """
     if riccati not in ("component", "pscan", "dense"):
         raise ValueError(riccati)
-    if spec.soft_contact is not None:
-        raise NotImplementedError(
-            "batch-native solver uses rigid-body component dynamics; "
-            "soft-contact specs must use the vmapped solve_fddp/solve_csqp "
-            "path (force-augmented state)")
     T = spec.horizon
     ts_np = spec.timesteps()  # per-node dt (multi-resolution supported)
-    step_b = make_batched_step(model, params)
-    step_d = make_batched_step_with_derivs(model, params)
+    soft = spec.soft_contact is not None
+    if soft:
+        from ..ops.batched_dynamics import (
+            make_batched_soft_step,
+            make_batched_soft_step_with_derivs,
+        )
+
+        step_b = make_batched_soft_step(model, params, spec.soft_contact)
+        step_d = make_batched_soft_step_with_derivs(
+            model, params, spec.soft_contact)
+    else:
+        step_b = make_batched_step(model, params)
+        step_d = make_batched_step_with_derivs(model, params)
+
+    def dyn_step(x, u, dts, t_idx, refs):
+        """Rigid (x,u,dt) or force-augmented step with per-node contact
+        activation from refs (runtime array, not object mutation)."""
+        if soft:
+            act = jnp.broadcast_to(
+                refs["contact_active"][t_idx], x.shape[:1]).astype(x.dtype)
+            d = jnp.broadcast_to(jnp.asarray(dts, x.dtype), x.shape[:1])
+            return step_b(x, u, d, act)
+        return step_b(x, u, dts)
+
+    def dyn_derivs(x, u, dts, t_idx, refs):
+        if soft:
+            act = jnp.broadcast_to(
+                refs["contact_active"][t_idx], x.shape[:1]).astype(x.dtype)
+            d = jnp.broadcast_to(jnp.asarray(dts, x.dtype), x.shape[:1])
+            return step_d(x, u, d, act)
+        return step_d(x, u, dts)
     n_alphas = settings.n_alphas
     alphas_np = [0.5**i for i in range(n_alphas)]
 
@@ -111,7 +135,8 @@ def make_batch_fddp(
         x_flat = xs[:-1].reshape(T * B, nx)
         u_flat = us.reshape(T * B, nu)
         dts_flat = jnp.repeat(jnp.asarray(ts_np, xs.dtype), B)
-        xnext, Fx, Fu = step_d(x_flat, u_flat, dts_flat)
+        t_flat = jnp.repeat(jnp.arange(T, dtype=jnp.int32), B)
+        xnext, Fx, Fu = dyn_derivs(x_flat, u_flat, dts_flat, t_flat, refs)
         dyn = (
             xnext.reshape(T, B, nx),
             Fx.reshape(T, B, nx, nx),
@@ -194,7 +219,7 @@ def make_batch_fddp(
             du = -alpha * kk - jnp.einsum("bij,bj->bi", KK, x - xref)
             u = uref + du
             c = stage_cost_b(x, u, t, refs)
-            xn = step_b(x, u, dt_t) - one_m_a * f_next
+            xn = dyn_step(x, u, dt_t, t, refs) - one_m_a * f_next
             return (xn, acc + c), (xn, u)
 
         x_init = x0s - one_m_a * fs[0]

@@ -33,7 +33,7 @@ masks; scenarios that converge early become no-ops while the rest iterate.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +67,12 @@ class BatchSQPSolution(NamedTuple):
     iters: jnp.ndarray  # [B]
     qp_iters: jnp.ndarray  # [B]
     converged: jnp.ndarray  # [B]
+    # per-iteration telemetry (CallbackVerbose/CallbackLogger analog,
+    # reference `ocp_base_croco.py:77-80`): populated when the solver is
+    # built with `trace=True`, NaN-padded past each scenario's last iteration
+    trace_cost: Optional[jnp.ndarray] = None  # [max_iters, B]
+    trace_kkt: Optional[jnp.ndarray] = None  # [max_iters, B]
+    trace_gap: Optional[jnp.ndarray] = None  # [max_iters, B]
 
 
 def _violation(g, lb, ub):
@@ -80,6 +86,7 @@ def make_batch_sqp(
     cf: CostFunctions,
     settings: CSQPSettings = CSQPSettings(),
     backend: str = "auto",
+    trace: bool = False,
 ):
     """Build `solve(x0s [B,nx], refs, xs [B,T+1,nx], us [B,T,nu])
     -> BatchSQPSolution` (leaves carry a leading [B]).
@@ -92,16 +99,15 @@ def make_batch_sqp(
     single-dispatch step/derivative evaluation), "xla" the component-form
     XLA path, "auto" picks pallas on TPU.
     """
-    if spec.soft_contact is not None:
-        raise NotImplementedError(
-            "batch-native SQP uses rigid-body component dynamics; "
-            "soft-contact specs use the vmapped solve_csqp path")
     T = spec.horizon
     nc = cf.n_constraints
     ts_np = np.asarray(spec.timesteps())
+    soft = spec.soft_contact is not None
     if backend == "auto":
         backend = ("pallas"
                    if jax.default_backend() not in ("cpu",) else "xla")
+    if soft:
+        backend = "xla"  # augmented-state dynamics; pallas kernels are rigid-body
     stage_dk = stage_vk = term_dk = term_vk = None
     if backend == "pallas":
         from ..ops.pallas_costs import make_pallas_stage, make_pallas_terminal
@@ -121,10 +127,40 @@ def make_batch_sqp(
             step_b = make_pallas_step(model, params)
             step_d = make_pallas_step_derivs(model, params)
     if backend == "xla":
-        step_b = make_batched_step(model, params)
-        step_d = make_batched_step_with_derivs(model, params)
+        if soft:
+            from ..ops.batched_dynamics import (
+                make_batched_soft_step,
+                make_batched_soft_step_with_derivs,
+            )
+
+            step_b = make_batched_soft_step(
+                model, params, spec.soft_contact)
+            step_d = make_batched_soft_step_with_derivs(
+                model, params, spec.soft_contact)
+        else:
+            step_b = make_batched_step(model, params)
+            step_d = make_batched_step_with_derivs(model, params)
     elif backend not in ("pallas",):
         raise ValueError(backend)
+
+    def dyn_step(x, u, dts, t_idx, refs):
+        """Uniform step dispatch: rigid (x,u,dt) or augmented with the
+        per-node contact activation pulled from refs (the reference mutates
+        `dam.active_contact` per tick; here it's a runtime array)."""
+        if soft:
+            act = jnp.broadcast_to(
+                refs["contact_active"][t_idx], x.shape[:1]).astype(x.dtype)
+            d = jnp.broadcast_to(jnp.asarray(dts, x.dtype), x.shape[:1])
+            return step_b(x, u, d, act)
+        return step_b(x, u, dts)
+
+    def dyn_derivs(x, u, dts, t_idx, refs):
+        if soft:
+            act = jnp.broadcast_to(
+                refs["contact_active"][t_idx], x.shape[:1]).astype(x.dtype)
+            d = jnp.broadcast_to(jnp.asarray(dts, x.dtype), x.shape[:1])
+            return step_d(x, u, d, act)
+        return step_d(x, u, dts)
     n_alphas = settings.n_alphas
     alphas_np = np.asarray([0.5 ** i for i in range(n_alphas)])
 
@@ -181,7 +217,8 @@ def make_batch_sqp(
                 lambda x, u, t: stage_cost_b(x, u, t, refs)
             )(xs[:-1], us, jnp.arange(T))
             cost = jnp.sum(costs, axis=0) + term_cost_b(xs[-1], refs)
-            xnext = step_b(x_flat, u_flat, dts_flat).reshape(T, B, nx)
+            xnext = dyn_step(
+                x_flat, u_flat, dts_flat, t_idx, refs).reshape(T, B, nx)
         fs = jnp.concatenate(
             [(x0s - xs[0])[None], xnext - xs[1:]], axis=0)
         return cost, fs
@@ -207,7 +244,7 @@ def make_batch_sqp(
 
             lT, lxT, lxxT = term_dk(xs[-1], refs)
             return dyn, costs, TerminalDerivs(lT, lxT, lxxT)
-        xnext, Fx, Fu = step_d(x_flat, u_flat, dts_flat)
+        xnext, Fx, Fu = dyn_derivs(x_flat, u_flat, dts_flat, t_idx, refs)
         dyn = (
             xnext.reshape(T, B, nx),
             Fx.reshape(T, B, nx, nx),
@@ -399,7 +436,8 @@ def make_batch_sqp(
 
         def iteration(carry):
             (xs, us, cost, kkt, converged, iters, qp_total, ks, Ks_d,
-             reg, rho_b) = carry
+             reg, rho_b) = carry[:11]
+            tr = carry[11:]
             dyn, costs, term = derivs_of(xs, us, refs)
             xnext, Fx, Fu = dyn
             l, lx, lu, lxx, lxu, luu = costs
@@ -559,11 +597,15 @@ def make_batch_sqp(
             kkt_new = jnp.where(step_bad | ~jnp.isfinite(kkt_raw),
                                 kkt, kkt_raw)
 
-            ok = any_accept & ~converged
+            # a scenario is live until it converges OR exhausts its own
+            # iteration budget (mim_solvers `max_iters` is per solve; without
+            # the cap here one diverging scenario would spin the while_loop
+            # unboundedly once any other scenario's `iters` froze early)
+            live = ~converged & (iters < settings.max_iters)
+            ok = any_accept & live
             xs_out = jnp.where(ok[None, :, None], xs_best, xs)
             us_out = jnp.where(ok[None, :, None], us_best, us)
             cost_out = jnp.where(ok, cost_best, cost)
-            live = ~converged
             kkt_out = jnp.where(live, kkt_new, kkt)
             ks_out = jnp.where(live[None, :, None],
                                jnp.transpose(ks_t, (0, 2, 1)), ks)
@@ -584,8 +626,19 @@ def make_batch_sqp(
                               reg * settings.reg_inc),
                     settings.reg_min, settings.reg_max))
             rho_out = jnp.where(converged, rho_b, rho_next)
+            if trace:
+                tc, tk, tg = tr
+                bidx = jnp.arange(B)
+                nan = jnp.asarray(jnp.nan, dtype)
+                idx = jnp.minimum(iters, settings.max_iters - 1)
+                tc = tc.at[idx, bidx].set(jnp.where(live, cost_out, nan))
+                tk = tk.at[idx, bidx].set(jnp.where(live, kkt_new, nan))
+                tg = tg.at[idx, bidx].set(jnp.where(live, gap_inf, nan))
+                tr_out = (tc, tk, tg)
+            else:
+                tr_out = ()
             return (xs_out, us_out, cost_out, kkt_out, conv_out, iters_out,
-                    qp_out, ks_out, Ks_out, reg_out, rho_out)
+                    qp_out, ks_out, Ks_out, reg_out, rho_out) + tr_out
 
         cost0, _ = cost_and_gaps(x0s, xs, us, refs)
         init = (
@@ -599,6 +652,12 @@ def make_batch_sqp(
             jnp.full((B,), settings.reg_init, dtype),
             jnp.full((B,), float(settings.rho), dtype),
         )
+        if trace:
+            init = init + (
+                jnp.full((settings.max_iters, B), jnp.nan, dtype),
+                jnp.full((settings.max_iters, B), jnp.nan, dtype),
+                jnp.full((settings.max_iters, B), jnp.nan, dtype),
+            )
         # early-exit iteration loop: mim_solvers terminates on the KKT
         # criterion too (`termination_tolerance`, ocp_param_base.py:54-57);
         # warm-started MPC ticks typically converge in 2-4 iterations, so a
@@ -606,10 +665,13 @@ def make_batch_sqp(
         def loop_cond(carry):
             converged = carry[4]
             iters = carry[5]
-            return (jnp.min(iters) < settings.max_iters) & ~jnp.all(converged)
+            # run while any scenario is live (per-scenario budget)
+            return ~jnp.all(converged | (iters >= settings.max_iters))
 
+        out = jax.lax.while_loop(loop_cond, iteration, init)
         (xs, us, cost, kkt, converged, iters, qp_total, ks, Ks, _reg,
-         _rho) = jax.lax.while_loop(loop_cond, iteration, init)
+         _rho) = out[:11]
+        tr_final = out[11:]
 
         # final feasibility report (node-parallel)
         fs = eval_gaps(x0s, xs, us, refs)
@@ -631,6 +693,9 @@ def make_batch_sqp(
             iters=iters,
             qp_iters=qp_total,
             converged=converged,
+            trace_cost=tr_final[0] if trace else None,
+            trace_kkt=tr_final[1] if trace else None,
+            trace_gap=tr_final[2] if trace else None,
         )
 
     return solve

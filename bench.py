@@ -169,27 +169,35 @@ def main():
         x0s = jnp.tile(x0[None], (BATCH, 1))
         xs0 = jnp.tile(x0[None, None], (BATCH, T + 1, 1))
         us0 = jnp.zeros((BATCH, T, 7), dtype)
-        sol = solver(x0s, refs, xs0, us0)
-        jax.block_until_ready(sol.cost)
+        # converge hard once (the reference's unlimited first solve,
+        # `ocp_base_croco.py:160-171`), then measure the warm-started
+        # MPC regime through a dependency-serialized chain: per-call host
+        # syncs are unreliable through the device tunnel (ready events can
+        # fire at enqueue), so the chain + ONE final host read is the
+        # honest device-throughput measurement.
+        cold = CSQPSettings(max_iters=100, max_qp_iters=100, reg_init=1e-7)
+        first = jax.jit(make_batch_sqp(model, params, spec, cf, cold))
+        sol = first(x0s, refs, xs0, us0)
+        np.asarray(sol.cost)  # force completion
         rng = np.random.default_rng(0)
-        x0_variants = [
-            x0s + jnp.asarray(np.concatenate(
-                [rng.normal(size=(BATCH, 7)) * 0.02,
-                 np.zeros((BATCH, 7))], axis=1), dtype)
-            for _ in range(5)
-        ]
-        times = []
-        for xv in x0_variants:
-            t0 = time.perf_counter()
-            sol = solver(xv, refs, xs0, us0)
-            jax.block_until_ready(sol.cost)
-            times.append(time.perf_counter() - t0)
-        t_batch = float(np.median(times))
-        solves_per_s = BATCH / t_batch
+        n = 20
+        # per-tick sensor drift at 100 Hz scale (~0.005 rad between ticks);
+        # each tick re-solves from the previous solution like the MPC loop
+        x0_seq = jnp.asarray(np.asarray(x0s)[None] + np.concatenate(
+            [rng.normal(size=(n, BATCH, 7)) * 0.005,
+             np.zeros((n, BATCH, 7))], axis=2), dtype)
+        sol = solver(x0_seq[0], refs, sol.xs, sol.us)
+        np.asarray(sol.cost)  # warm cache for the measured executable
+        t0 = time.perf_counter()
+        for i in range(n):
+            sol = solver(x0_seq[i], refs, sol.xs, sol.us)
+        cn = float(np.max(np.asarray(sol.constraint_norm)))  # host read
+        t_total = time.perf_counter() - t0
+        solves_per_s = BATCH * n / t_total
         assert bool(jnp.all(jnp.isfinite(sol.us)))
         # physics: the keep-away band must hold on the solution
-        cn = float(jnp.max(sol.constraint_norm))
         print(f"constraint_violation_max={cn:.2e}", file=sys.stderr)
+        assert cn < 5e-3, f"collision band violated by {cn:.2e}"
         print(json.dumps({
             "metric": f"panda_csqp_collision_solves_per_s_T{T}_1chip",
             "value": round(solves_per_s, 2),
