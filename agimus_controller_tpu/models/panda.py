@@ -211,8 +211,10 @@ def load_panda(
     self_collision: bool = False,
     collision_pairs=(),
     dtype=np.float32,
+    free_flyer: bool = False,
 ):
-    """Build the Panda (RobotModel, ModelParams)."""
+    """Build the Panda (RobotModel, ModelParams). ``free_flyer=True`` mounts
+    it on a 6-DoF floating base (nq = 13)."""
     return build_model_from_urdf(
         PANDA_URDF,
         armature=PANDA_DEFAULT_ARMATURE if armature is None else armature,
@@ -223,4 +225,5 @@ def load_panda(
         collision_pairs=collision_pairs,
         self_collision=self_collision,
         dtype=dtype,
+        free_flyer=free_flyer,
     )

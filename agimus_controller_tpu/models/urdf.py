@@ -274,7 +274,7 @@ class RobotModelParameters:
     (`factory/robot_model.py:12-85`) minus the pinocchio/coal specifics."""
 
     q0: np.ndarray = dataclasses.field(default_factory=lambda: np.array([]))
-    free_flyer: bool = False  # kept for API parity; not yet supported
+    free_flyer: bool = False  # floating base (6-DoF chart, see build_model_from_urdf)
     moving_joint_names: List[str] = dataclasses.field(default_factory=list)
     robot_urdf: Union[Path, str] = ""
     env_urdf: Union[None, Path, str] = None
@@ -287,8 +287,6 @@ class RobotModelParameters:
     dtype: np.dtype = np.float32
 
     def __post_init__(self):
-        if self.free_flyer:
-            raise NotImplementedError("free-flyer base not yet supported")
         if not self.robot_urdf:
             raise ValueError("Robot URDF can not be an empty string.")
         if isinstance(self.robot_urdf, Path) and not self.robot_urdf.is_file():
@@ -328,6 +326,7 @@ def build_model_from_urdf(
     self_collision: bool = False,
     gravity: Sequence[float] = (0.0, 0.0, -9.81),
     dtype=np.float32,
+    free_flyer: bool = False,
 ) -> Tuple[RobotModel, ModelParams]:
     """Compile a URDF (plus optional env URDF + SRDF) into static arrays.
 
@@ -336,8 +335,46 @@ def build_model_from_urdf(
     `pin.buildReducedModel` path, `factory/robot_model.py:231-259`). The env
     URDF is grafted onto ``robot_attachment_frame`` (`pin.appendModel` analog,
     `:214-229`).
+
+    ``free_flyer=True`` mounts the robot on a floating base (the reference's
+    `StateMultibody` free-flyer option, `factory/robot_model.py:17`),
+    realized as a 6-single-DoF chart: 3 world-axis prismatic joints
+    (x, y, z) then 3 revolute joints (euler Z-Y-X), so the entire engine —
+    kinematics, RNEA/CRBA, batch solvers — works unchanged on the extended
+    vector state. This chart is exact everywhere except the euler
+    singularity at pitch = ±pi/2; a quaternion Lie-group state is the
+    planned upgrade for unbounded base rotation. ``q0``/``armature`` may
+    cover either the full extended model or just the original joints (base
+    entries are then zero-filled).
     """
     name, links, joints, root = _parse_urdf(_read(urdf))
+
+    n_ff = 0
+    if free_flyer:
+        ff_spec = [
+            ("root_joint_tx", "prismatic", (1.0, 0.0, 0.0)),
+            ("root_joint_ty", "prismatic", (0.0, 1.0, 0.0)),
+            ("root_joint_tz", "prismatic", (0.0, 0.0, 1.0)),
+            ("root_joint_rz", "revolute", (0.0, 0.0, 1.0)),
+            ("root_joint_ry", "revolute", (0.0, 1.0, 0.0)),
+            ("root_joint_rx", "revolute", (1.0, 0.0, 0.0)),
+        ]
+        n_ff = len(ff_spec)
+        universe = "__ff_universe__"
+        links[universe] = _Link(universe, _Inertial(), [])
+        prev = universe
+        ff_joints = []
+        for i, (jn, jt, ax) in enumerate(ff_spec):
+            child = root if i == n_ff - 1 else f"__ff_link_{i}__"
+            if child != root:
+                links[child] = _Link(child, _Inertial(), [])
+            ff_joints.append(_Joint(
+                name=jn, jtype=jt, parent=prev, child=child,
+                origin=_se3_id(), axis=np.asarray(ax, float),
+            ))
+            prev = child
+        joints = ff_joints + joints
+        root = universe
 
     if env_urdf is not None:
         if not robot_attachment_frame:
@@ -371,14 +408,22 @@ def build_model_from_urdf(
 
     all_joints = _tree_joints(root)
     movable_all = [j for j in all_joints if j.jtype != "fixed"]
+    ff_names = {j.name for j in movable_all[:n_ff]} if n_ff else set()
     if moving_joint_names is None:
         moving_joint_names = [j.name for j in movable_all]
+    elif n_ff:
+        # the floating base is always movable
+        moving_joint_names = (
+            [j.name for j in movable_all[:n_ff]]
+            + [n for n in moving_joint_names if n not in ff_names])
     unknown = set(moving_joint_names) - {j.name for j in movable_all}
     if unknown:
         raise ValueError(f"moving_joint_names not in model: {sorted(unknown)}")
 
     # q0 indexed over *all* movable joints of the full model, reference-style
     q0_full = np.zeros(len(movable_all)) if q0 is None else np.asarray(q0, float)
+    if n_ff and q0_full.shape[0] == len(movable_all) - n_ff:
+        q0_full = np.concatenate([np.zeros(n_ff), q0_full])  # base at origin
     if q0_full.shape[0] != len(movable_all):
         raise ValueError(
             f"q0 must cover the full model ({len(movable_all)} movable joints), "
@@ -492,6 +537,8 @@ def build_model_from_urdf(
 
     nj = len(jnames)
     arm = np.zeros(nj) if armature is None else np.asarray(armature, float)
+    if n_ff and arm.shape[0] == nj - n_ff:
+        arm = np.concatenate([np.zeros(n_ff), arm])  # no rotor on the base
     if arm.shape[0] != nj:
         raise ValueError(f"armature length {arm.shape[0]} != nj {nj}")
 
@@ -550,6 +597,7 @@ class RobotModels:
             collision_pairs=params.collision_pairs,
             self_collision=params.self_collision,
             dtype=params.dtype,
+            free_flyer=params.free_flyer,
         )
         q0 = params.q0 if params.q0.size else None
         self.model, self.params = build_model_from_urdf(
@@ -564,6 +612,7 @@ class RobotModels:
             collision_pairs=params.collision_pairs,
             self_collision=params.self_collision,
             dtype=params.dtype,
+            free_flyer=params.free_flyer,
         )
 
     @property

@@ -277,10 +277,14 @@ def solve_csqp(
         )
         newly_conv = kkt_new < settings.termination_tolerance
 
-        out_xs = jnp.where(converged, xs, xs_next)
-        out_us = jnp.where(converged, us, us_next)
-        out_cost = jnp.where(converged, cost, cost_next)
-        out_merit = jnp.where(converged, merit_inf, merit_next)
+        # KKT is measured at the CURRENT iterate: on convergence return this
+        # verified iterate, not the unverified post-step point (mim_solvers
+        # terminates before stepping further)
+        keep = converged | newly_conv
+        out_xs = jnp.where(keep, xs, xs_next)
+        out_us = jnp.where(keep, us, us_next)
+        out_cost = jnp.where(keep, cost, cost_next)
+        out_merit = jnp.where(keep, merit_inf, merit_next)
         out_kkt = jnp.where(converged, kkt, kkt_new)
         out_K = jnp.where(converged, Ks_prev, Ks)
         out_k = jnp.where(converged, ks_prev, ks)

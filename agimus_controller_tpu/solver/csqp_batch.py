@@ -392,12 +392,9 @@ def make_batch_csqp(
             us_best = us_a[:, bidx, best]
             cost_best = cost_a[bidx, best]
 
-            ok = any_accept & ~converged
-            xs_out = jnp.where(ok[None, :, None], xs_best, xs)
-            us_out = jnp.where(ok[None, :, None], us_best, us)
-            cost_out = jnp.where(ok, cost_best, cost)
-
-            # practical KKT: feasibility + full-step magnitude (per scenario)
+            # practical KKT: feasibility + full-step magnitude (per scenario),
+            # measured at the CURRENT iterate — scenarios that meet the
+            # tolerance return this verified iterate (no further step)
             kkt_new = jnp.maximum(
                 jnp.maximum(
                     jnp.max(jnp.abs(fs), axis=(0, 2)),
@@ -405,6 +402,11 @@ def make_batch_csqp(
                     if nc > 0 else jnp.zeros((B,), dtype)),
                 jnp.max(jnp.abs(dus), axis=(0, 2)))
             newly_conv = kkt_new < settings.termination_tolerance
+
+            ok = any_accept & ~converged & ~newly_conv
+            xs_out = jnp.where(ok[None, :, None], xs_best, xs)
+            us_out = jnp.where(ok[None, :, None], us_best, us)
+            cost_out = jnp.where(ok, cost_best, cost)
 
             live = ~converged
             kkt_out = jnp.where(live, kkt_new, kkt)

@@ -602,7 +602,12 @@ def make_batch_sqp(
             # the cap here one diverging scenario would spin the while_loop
             # unboundedly once any other scenario's `iters` froze early)
             live = ~converged & (iters < settings.max_iters)
-            ok = any_accept & live
+            # KKT is measured at the CURRENT iterate: when it already meets
+            # the tolerance, return this iterate — applying one more step
+            # would hand back an unverified point (observed: the collision
+            # band violated by ~2e-3 on a "converged" solve)
+            conv_now = live & (kkt_new < settings.termination_tolerance)
+            ok = any_accept & live & ~conv_now
             xs_out = jnp.where(ok[None, :, None], xs_best, xs)
             us_out = jnp.where(ok[None, :, None], us_best, us)
             cost_out = jnp.where(ok, cost_best, cost)
@@ -613,8 +618,7 @@ def make_batch_sqp(
                                jnp.transpose(Ks, (0, 3, 1, 2)), Ks_d)
             iters_out = iters + live.astype(iters.dtype)
             qp_out = qp_total + jnp.where(live, qp_n, 0)
-            conv_out = converged | (live & (kkt_new
-                                            < settings.termination_tolerance))
+            conv_out = converged | conv_now
             # Levenberg-Marquardt schedule on the Quu regularization: grow on
             # failed factorizations / rejected steps, shrink on accepts —
             # required for float32 robustness at long horizons.

@@ -195,9 +195,21 @@ def main():
         t_total = time.perf_counter() - t0
         solves_per_s = BATCH * n / t_total
         assert bool(jnp.all(jnp.isfinite(sol.us)))
-        # physics: the keep-away band must hold on the solution
-        print(f"constraint_violation_max={cn:.2e}", file=sys.stderr)
-        assert cn < 5e-3, f"collision band violated by {cn:.2e}"
+        # physics: the keep-away band must hold on the solution over the
+        # CONTROLLABLE nodes t>=1 (node 0 is the measured initial state —
+        # when the sensor puts the arm inside the band, no solver can repair
+        # the past; the reference behaves identically)
+        from agimus_controller_tpu.ops import collision
+
+        qs = np.asarray(sol.xs[:, 1:, :7]).reshape(-1, 7)
+        dmin = float(np.min(np.asarray(jax.vmap(
+            lambda qq: collision.pair_distance(model, params, qq, 0)
+        )(jnp.asarray(qs, dtype)))))
+        print(f"constraint_violation_max={cn:.2e} (incl. node 0); "
+              f"min distance over t>=1: {dmin:.4f} m (band 0.02)",
+              file=sys.stderr)
+        assert dmin > 0.02 - 2e-3, (
+            f"collision band violated on controllable nodes: {dmin:.4f}")
         print(json.dumps({
             "metric": f"panda_csqp_collision_solves_per_s_T{T}_1chip",
             "value": round(solves_per_s, 2),

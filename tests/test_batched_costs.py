@@ -17,6 +17,8 @@ from agimus_controller_tpu.ocp.spec import (
 from agimus_controller_tpu.ops.batched_costs import make_batched_cost_pack
 from tests.test_robot_models import ENV_URDF
 
+pytestmark = pytest.mark.slow  # heavy XLA solver compiles; see pyproject tiers
+
 
 @pytest.fixture(scope="module")
 def panda_env():

@@ -21,6 +21,8 @@ from agimus_controller_tpu.mpc.ocp_base import (
 )
 from agimus_controller_tpu.ocp.spec import CostItem, ProblemSpec
 
+pytestmark = pytest.mark.slow  # heavy XLA solver compiles; see pyproject tiers
+
 
 @pytest.fixture(scope="module")
 def panda():

@@ -16,6 +16,8 @@ from agimus_controller_tpu.ocp.spec import (
 from agimus_controller_tpu.solver.csqp import CSQPSettings, solve_csqp
 from agimus_controller_tpu.solver.csqp_batch import make_batch_csqp
 
+pytestmark = pytest.mark.slow  # heavy XLA solver compiles; see pyproject tiers
+
 
 @pytest.fixture(scope="module")
 def panda():

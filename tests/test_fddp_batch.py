@@ -10,6 +10,8 @@ from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
 from agimus_controller_tpu.solver.fddp_batch import make_batch_fddp
 from tests.test_solver_fddp import goal_reaching_problem
 
+pytestmark = pytest.mark.slow  # heavy XLA solver compiles; see pyproject tiers
+
 
 @pytest.fixture(scope="module")
 def panda():

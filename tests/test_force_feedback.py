@@ -27,6 +27,8 @@ from agimus_controller_tpu.ops.soft_contact import (
 )
 from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
 
+pytestmark = pytest.mark.slow  # heavy XLA solver compiles; see pyproject tiers
+
 
 @pytest.fixture(scope="module")
 def panda():

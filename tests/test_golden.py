@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA solver compiles; see pyproject tiers
+
 GOLDEN = pathlib.Path(__file__).parent / "resources" / "golden_panda_T20.npz"
 
 

@@ -16,6 +16,8 @@ from agimus_controller_tpu.parallel.mesh import (
 from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
 from tests.test_solver_fddp import goal_reaching_problem
 
+pytestmark = pytest.mark.slow  # heavy XLA solver compiles; see pyproject tiers
+
 
 @pytest.fixture(scope="module")
 def panda():

@@ -37,6 +37,8 @@ from agimus_controller_tpu.ops.pallas_costs import (
 from agimus_controller_tpu.ops.pallas_dynamics import dynamics_terms
 from tests.test_robot_models import ENV_URDF
 
+pytestmark = pytest.mark.slow  # heavy XLA solver compiles; see pyproject tiers
+
 LANES = 16  # small tile width for CPU math checks
 
 

@@ -1,0 +1,218 @@
+"""Second robot (Tiago-Pro-class, branched tree) + free-flyer base.
+
+Reference parity targets: Tiago-Pro support (`mpc_plot_node.py:34-97`) and
+the `StateMultibody` free-flyer option (`factory/robot_model.py:17`).
+Physics checks are analytic identities, so they hold for any correct
+implementation.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agimus_controller_tpu.models.panda import PANDA_Q_READY, load_panda
+from agimus_controller_tpu.models.tiago_pro import (
+    TIAGO_PRO_LEFT_ARM_JOINTS,
+    TIAGO_PRO_Q_READY,
+    load_tiago_pro,
+)
+from agimus_controller_tpu.ops import dynamics, kinematics
+
+
+# ---------------------------------------------------------------- tiago pro
+def test_tiago_full_model_branched():
+    model, params = load_tiago_pro(moving_joint_names="all", dtype=np.float64)
+    assert model.nq == 17  # torso + 2 head + 2x7 arms
+    # branched: both arm roots share the torso joint as parent
+    j_torso = model.joint_id("torso_lift_joint")
+    assert model.parents[model.joint_id("left_arm_1_joint")] == j_torso
+    assert model.parents[model.joint_id("right_arm_1_joint")] == j_torso
+    assert model.joint_types[j_torso] == "prismatic"
+
+
+def test_tiago_reduced_single_arm():
+    model, params = load_tiago_pro(dtype=np.float64)
+    assert list(model.joint_names) == TIAGO_PRO_LEFT_ARM_JOINTS
+    assert model.nq == 8
+    # locked right arm's mass must be merged, not dropped: total mass equal
+    full, fparams = load_tiago_pro(moving_joint_names="all", dtype=np.float64)
+    # compare gravity load on the torso lift (supports everything above it)
+    q = jnp.zeros(8)
+    qf = jnp.zeros(17)
+    g_red = dynamics.generalized_gravity(model, params, q)
+    g_full = dynamics.generalized_gravity(full, fparams, qf)
+    i_red = model.joint_id("torso_lift_joint")
+    i_full = full.joint_id("torso_lift_joint")
+    np.testing.assert_allclose(
+        float(g_red[i_red]), float(g_full[i_full]), rtol=1e-12)
+
+
+def test_tiago_dynamics_identities():
+    """M(q) from CRBA == RNEA columns; forward(inverse) == identity."""
+    model, params = load_tiago_pro(dtype=np.float64)
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(TIAGO_PRO_Q_READY + rng.normal(size=8) * 0.1)
+    v = jnp.asarray(rng.normal(size=8) * 0.3)
+    M = dynamics.crba(model, params, q)
+    # column k of M = rnea(q, 0, e_k) - g(q)
+    g = dynamics.generalized_gravity(model, params, q)
+    for k in range(8):
+        ek = jnp.zeros(8).at[k].set(1.0)
+        col = dynamics.rnea(model, params, q, jnp.zeros(8), ek) - g
+        np.testing.assert_allclose(np.asarray(M[:, k]), np.asarray(col),
+                                   atol=1e-10)
+    tau = jnp.asarray(rng.normal(size=8))
+    a = dynamics.forward_dynamics(model, params, q, v, tau)
+    tau_back = dynamics.rnea(model, params, q, v, a) + \
+        jnp.asarray(params.armature) * a
+    np.testing.assert_allclose(np.asarray(tau_back), np.asarray(tau),
+                               atol=1e-9)
+
+
+def test_tiago_goal_reach_solve():
+    """A short goal-reaching solve on the second robot converges and moves
+    the tool toward the target (the Panda OCP stack is robot-generic)."""
+    from agimus_controller_tpu.ocp.costs import build_cost_functions
+    from agimus_controller_tpu.ocp.spec import (
+        CostItem,
+        ProblemSpec,
+        default_references,
+    )
+    from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
+
+    model, params = load_tiago_pro(dtype=np.float64)
+    T = 20
+    spec = ProblemSpec(
+        running_costs=(
+            CostItem(name="state_reg", kind="state", weight=0.1, update=True),
+            CostItem(name="ctrl", kind="control_grav", weight=1e-3),
+            CostItem(name="goal", kind="frame_translation", weight=10.0,
+                     update=True, frame="left_arm_tool_link"),
+        ),
+        terminal_costs=(
+            CostItem(name="goal", kind="frame_translation", weight=100.0,
+                     update=True, frame="left_arm_tool_link"),
+        ),
+        horizon=T, dt=0.02,
+    )
+    cf = build_cost_functions(model, params, spec, dtype=jnp.float64)
+    refs = default_references(spec, model, dtype=jnp.float64)
+    q0 = jnp.asarray(TIAGO_PRO_Q_READY)
+    x0 = jnp.concatenate([q0, jnp.zeros(8)])
+    fid = model.frame_id("left_arm_tool_link")
+    _, p0 = kinematics.frame_placement(model, params, q0, fid)
+    target = np.asarray(p0) + np.asarray([0.10, -0.05, 0.10])
+    refs["xref"] = jnp.tile(x0[None], (T + 1, 1))
+    refs["ee_trans:left_arm_tool_link"] = jnp.tile(
+        jnp.asarray(target)[None], (T + 1, 1))
+    xs0 = jnp.tile(x0[None], (T + 1, 1))
+    us0 = jnp.tile(dynamics.generalized_gravity(model, params, q0)[None],
+                   (T, 1))
+    sol = solve_fddp(cf, x0, refs, xs0, us0, SolverSettings(max_iters=60))
+    qT = jnp.asarray(np.asarray(sol.xs[-1, :8]))
+    _, pT = kinematics.frame_placement(model, params, qT, fid)
+    e0 = np.linalg.norm(np.asarray(p0) - target)
+    eT = np.linalg.norm(np.asarray(pT) - target)
+    assert eT < 0.25 * e0, f"tool error {eT:.3f} vs start {e0:.3f}"
+
+
+# ---------------------------------------------------------------- free flyer
+def test_freeflyer_dimensions_and_names():
+    model, params = load_panda(dtype=np.float64, free_flyer=True)
+    assert model.nq == 13
+    assert model.joint_names[:6] == (
+        "root_joint_tx", "root_joint_ty", "root_joint_tz",
+        "root_joint_rz", "root_joint_ry", "root_joint_rx")
+    assert float(params.armature[0]) == 0.0  # no rotor on the base
+
+
+def test_freeflyer_gravity_load_is_total_weight():
+    """Exact identity: the generalized gravity on the base translation
+    coordinates equals the robot's total weight (holding force)."""
+    model, params = load_panda(dtype=np.float64, free_flyer=True)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(np.concatenate(
+        [rng.normal(size=3) * 0.5, rng.normal(size=3) * 0.4,
+         PANDA_Q_READY]))
+    g = dynamics.generalized_gravity(model, params, q)
+    total_mass = float(np.sum(np.asarray(params.mass)))
+    np.testing.assert_allclose(float(g[2]), total_mass * 9.81, rtol=1e-10)
+    # x/y translations see no gravity
+    np.testing.assert_allclose(np.asarray(g[:2]), 0.0, atol=1e-10)
+
+
+def test_freeflyer_free_fall():
+    """Zero torque, zero velocity: the base falls — vertical acceleration of
+    the system CoM is -g (exact for any articulated body)."""
+    model, params = load_panda(dtype=np.float64, free_flyer=True)
+    q = jnp.asarray(np.concatenate([np.zeros(6), PANDA_Q_READY]))
+    v = jnp.zeros(13)
+    a = dynamics.forward_dynamics(model, params, q, v, jnp.zeros(13))
+    # CoM acceleration: sum(m_i * a_i)/M — compute via the CoM Jacobian
+    # trick d/dq of com position times ddq (v=0 so no velocity product)
+    import jax
+
+    def com_z(qq):
+        from agimus_controller_tpu.ops.kinematics import joint_placements
+
+        rots, trans = joint_placements(model, params, qq)
+        com_w = jnp.einsum("nij,nj->ni", rots, params.com) + trans
+        return jnp.sum(params.mass * com_w[:, 2]) / jnp.sum(params.mass)
+
+    Jz = jax.grad(com_z)(q)
+    np.testing.assert_allclose(float(Jz @ a), -9.81, rtol=1e-9)
+
+
+def test_freeflyer_fixed_base_equivalence():
+    """Locking the 6 base joints at zero must reproduce the fixed-base
+    Panda dynamics exactly."""
+    fixed_m, fixed_p = load_panda(dtype=np.float64)
+    model, params = load_panda(dtype=np.float64, free_flyer=True)
+    rng = np.random.default_rng(1)
+    q_arm = jnp.asarray(PANDA_Q_READY + rng.normal(size=7) * 0.2)
+    v_arm = jnp.asarray(rng.normal(size=7) * 0.3)
+    a_arm = jnp.asarray(rng.normal(size=7) * 0.5)
+    q = jnp.concatenate([jnp.zeros(6), q_arm])
+    tau_ff = dynamics.rnea(model, params, q,
+                           jnp.concatenate([jnp.zeros(6), v_arm]),
+                           jnp.concatenate([jnp.zeros(6), a_arm]))
+    tau_fx = dynamics.rnea(fixed_m, fixed_p, q_arm, v_arm, a_arm)
+    np.testing.assert_allclose(np.asarray(tau_ff[6:]), np.asarray(tau_fx),
+                               atol=1e-9)
+    # FK of the hand matches too
+    fid_ff = model.frame_id("panda_hand_tcp")
+    fid_fx = fixed_m.frame_id("panda_hand_tcp")
+    _, p_ff = kinematics.frame_placement(model, params, q, fid_ff)
+    _, p_fx = kinematics.frame_placement(fixed_m, fixed_p, q_arm, fid_fx)
+    np.testing.assert_allclose(np.asarray(p_ff), np.asarray(p_fx), atol=1e-12)
+
+
+def test_freeflyer_base_placement():
+    """Base coordinates move the whole robot rigidly: q_base = (t, rz)
+    rotates+translates the hand FK."""
+    model, params = load_panda(dtype=np.float64, free_flyer=True)
+    fixed_m, fixed_p = load_panda(dtype=np.float64)
+    t = np.asarray([0.3, -0.2, 0.5])
+    yaw = 0.7
+    q = jnp.asarray(np.concatenate([t, [yaw, 0.0, 0.0], PANDA_Q_READY]))
+    fid = model.frame_id("panda_hand_tcp")
+    R_ff, p_ff = kinematics.frame_placement(model, params, q, fid)
+    R_fx, p_fx = kinematics.frame_placement(
+        fixed_m, fixed_p, jnp.asarray(PANDA_Q_READY),
+        fixed_m.frame_id("panda_hand_tcp"))
+    c, s = np.cos(yaw), np.sin(yaw)
+    Rz = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    np.testing.assert_allclose(np.asarray(p_ff), Rz @ np.asarray(p_fx) + t,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(R_ff), Rz @ np.asarray(R_fx),
+                               atol=1e-12)
+
+
+def test_freeflyer_tiago():
+    """Free-flyer composes with the branched second robot."""
+    model, params = load_tiago_pro(dtype=np.float64, free_flyer=True)
+    assert model.nq == 14  # 6 base + torso + 7 arm
+    q = jnp.asarray(np.concatenate([np.zeros(6), TIAGO_PRO_Q_READY]))
+    a = dynamics.forward_dynamics(model, params, q, jnp.zeros(14),
+                                  jnp.zeros(14))
+    assert np.all(np.isfinite(np.asarray(a)))

@@ -25,6 +25,8 @@ from agimus_controller_tpu.solver.csqp import CSQPSettings, solve_csqp
 from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
 from tests.test_solver_fddp import lqr_reference_solution, make_lqr
 
+pytestmark = pytest.mark.slow  # heavy XLA solver compiles; see pyproject tiers
+
 
 def make_constrained_lqr(u_max, nx=4, nu=2, T=10, seed=0):
     """LQR cf + control box constraints |u| <= u_max wired in manually."""

@@ -23,6 +23,8 @@ from agimus_controller_tpu.ocp.spec import CostItem, ProblemSpec, default_refere
 from agimus_controller_tpu.ops import kinematics
 from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
 
+pytestmark = pytest.mark.slow  # heavy XLA solver compiles; see pyproject tiers
+
 
 def make_lqr(nx=4, nu=2, T=30, seed=0):
     rng = np.random.default_rng(seed)

@@ -24,6 +24,8 @@ from agimus_controller_tpu.solver.sqp_batch import make_batch_sqp
 from tests.test_csqp_batch import constrained_goal_problem
 from tests.test_robot_models import ENV_URDF
 
+pytestmark = pytest.mark.slow  # heavy XLA solver compiles; see pyproject tiers
+
 
 @pytest.fixture(scope="module")
 def panda():
