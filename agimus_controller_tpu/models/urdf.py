@@ -384,11 +384,16 @@ def build_model_from_urdf(
             if ln in links:
                 raise ValueError(f"duplicate link {ln} between robot and env URDFs")
             links[ln] = lk
-        # graft: fixed joint from the attachment frame's link to the env root
+        # graft: fixed joint from the attachment frame's link to the env
+        # root. With a floating base the environment must stay world-fixed
+        # (the reference appends the *robot* to the environment at an env
+        # frame, `factory/robot_model.py:206-227`), so graft onto the world
+        # root above the 6-DoF base instead of a robot link.
+        attach_parent = root if free_flyer else robot_attachment_frame
         joints = joints + [
             _Joint(
                 name=f"attach_{env_name}", jtype="fixed",
-                parent=robot_attachment_frame, child=env_root,
+                parent=attach_parent, child=env_root,
                 origin=_se3_id(), axis=np.array([0.0, 0.0, 1.0]),
             )
         ] + env_joints

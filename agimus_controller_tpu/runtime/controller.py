@@ -103,6 +103,7 @@ class ControllerRuntime:
         self.params = params or RuntimeParams()
         self._sensor: Optional[Sensor] = None
         self._prev_res: Optional[OCPResults] = None
+        self._last_good_res: Optional[OCPResults] = None
         self.initialized = False
         self.control_callbacks: List[Callable[[Control], None]] = []
         self.solve_time_callbacks: List[Callable[[float], None]] = []
@@ -234,14 +235,22 @@ class ControllerRuntime:
             if self.params.on_unsolved == "hold" and \
                     self.last_control is not None:
                 if self.params.constant_delay:
-                    self._prev_res = None
+                    # the tick-start emission already published the last
+                    # good control; re-arm it (instead of the diverged
+                    # result) so the stream stays one message per tick
+                    self._prev_res = self._last_good_res
+                    return self.last_control
                 for cb in self.control_callbacks:
                     cb(self.last_control)
                 return self.last_control
 
         if self.params.constant_delay:
             self._prev_res = res
+            if solved:
+                self._last_good_res = res
             return self.last_control
+        if solved:
+            self._last_good_res = res
         return self._emit_control(res)
 
     def _emit_control(self, res: OCPResults) -> Control:

@@ -48,6 +48,12 @@ class PublisherParams:
 def _publisher_main(make_trajectory, model_args, q0, params: PublisherParams,
                     q_out: mp.Queue, stop_evt) -> None:
     """Child-process body: build models + generator, stream points."""
+    # Reference generation is host-side control logic and must not contend
+    # for the (single-client) TPU held by the controller process — pin the
+    # child to the CPU backend before any jax computation runs.
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
     # rebuild the model inside the child (process separation: the reference
     # node independently parses /robot_description, `:55-159`)
     from ..models.panda import load_panda  # default factory
@@ -113,8 +119,35 @@ class TrajectoryPublisherProcess:
         )
         self.done = False
 
+    # Environment variables that trigger TPU/PJRT plugin bootstrap at
+    # interpreter start (sitecustomize hooks). The child must NOT claim the
+    # accelerator — it is single-client and belongs to the controller
+    # process — so these are cleared in the staged child environment.
+    _CHILD_ENV_CLEAR = (
+        "PALLAS_AXON_POOL_IPS",  # axon sitecustomize register() trigger
+        "TPU_LIBRARY_PATH",
+        "PJRT_DEVICE",
+    )
+
     def start(self) -> "TrajectoryPublisherProcess":
-        self._proc.start()
+        # The child must come up on the CPU backend; JAX and the PJRT plugin
+        # hooks read the environment at interpreter start in the child, so
+        # stage the inherited environment around the spawn.
+        import os
+
+        saved = {k: os.environ.get(k)
+                 for k in ("JAX_PLATFORMS",) + self._CHILD_ENV_CLEAR}
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        for k in self._CHILD_ENV_CLEAR:
+            os.environ.pop(k, None)
+        try:
+            self._proc.start()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         return self
 
     def pump_into(self, append: Callable[[WeightedTrajectoryPoint], None],
@@ -128,6 +161,14 @@ class TrajectoryPublisherProcess:
                 pt = self.topic.get(timeout=timeout_s) if timeout_s else \
                     self.topic.get_nowait()
             except _queue.Empty:
+                # a crashed child leaves the queue permanently empty: surface
+                # it instead of letting consumers spin to their own deadline
+                if (not self._proc.is_alive()
+                        and (self._proc.exitcode or 0) != 0):
+                    self.done = True
+                    raise RuntimeError(
+                        "trajectory publisher child exited with code "
+                        f"{self._proc.exitcode} before end-of-stream")
                 break
             if pt is None:
                 self.done = True

@@ -633,11 +633,13 @@ def make_batch_sqp(
             if trace:
                 tc, tk, tg = tr
                 bidx = jnp.arange(B)
-                nan = jnp.asarray(jnp.nan, dtype)
-                idx = jnp.minimum(iters, settings.max_iters - 1)
-                tc = tc.at[idx, bidx].set(jnp.where(live, cost_out, nan))
-                tk = tk.at[idx, bidx].set(jnp.where(live, kkt_new, nan))
-                tg = tg.at[idx, bidx].set(jnp.where(live, gap_inf, nan))
+                # dead scenarios scatter out of bounds and are dropped, so a
+                # scenario that finished at the iteration cap keeps its final
+                # row while other scenarios stay live
+                idx = jnp.where(live, iters, settings.max_iters)
+                tc = tc.at[idx, bidx].set(cost_out, mode="drop")
+                tk = tk.at[idx, bidx].set(kkt_new, mode="drop")
+                tg = tg.at[idx, bidx].set(gap_inf, mode="drop")
                 tr_out = (tc, tk, tg)
             else:
                 tr_out = ()

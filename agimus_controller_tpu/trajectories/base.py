@@ -59,9 +59,26 @@ class SinWaveParams:
     period, and quintic ramp duration."""
 
     def __init__(self, amplitude, period, scale_duration):
-        self.amplitude = amplitude
-        self.period = period
-        self.scale_duration = scale_duration
+        amp = np.atleast_1d(np.asarray(amplitude, dtype=float))
+        per = np.atleast_1d(np.asarray(period, dtype=float))
+        dur = np.atleast_1d(np.asarray(scale_duration, dtype=float))
+        n = max(amp.size, per.size, dur.size)
+        # scalar / length-1 entries broadcast; anything else must match
+        # the per-axis length (reference `sine_wave_params.py:17` treats
+        # all three as per-axis lists)
+        out = []
+        for name, arr in (("amplitude", amp), ("period", per),
+                          ("scale_duration", dur)):
+            if arr.size == 1:
+                arr = np.full(n, arr[0])
+            elif arr.size != n:
+                raise ValueError(
+                    f"SinWaveParams.{name} has length {arr.size}, expected "
+                    f"1 or {n} (per-axis)")
+            out.append(arr)
+        self.amplitude = out[0].tolist()
+        self.period = out[1].tolist()
+        self.scale_duration = out[2].tolist()
 
     @property
     def frequency(self):

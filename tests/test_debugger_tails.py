@@ -69,7 +69,8 @@ def test_plot_tails(tmp_path, setup):
     us = rng.normal(size=(N, T1 - 1, 7))
     figs = plot_tails(xs, us, dt=0.01, model=model, params=params,
                       ee_frame="panda_hand_tcp", dump_path=str(tmp_path))
-    assert set(figs) == {"state q", "state v", "control u", "ee position"}
+    assert set(figs) == {"state q", "state v", "control u", "ee position",
+                         "ee orientation rpy", "ee angular velocity"}
     assert len(figs["state q"]["tails"]) == 2  # N=12, tail_every=10 -> 0, 10
     assert dump_filename(tmp_path, "state q").exists()
     assert dump_filename(tmp_path, "ee position").exists()

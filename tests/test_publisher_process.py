@@ -23,7 +23,7 @@ def _make_traj():
 
     return SinusWaveConfigurationSpace(
         SinWaveParams(amplitude=[0.2] * 7, period=[2.0] * 7,
-                      scale_duration=[0.0, 1.0]),
+                      scale_duration=[1.0] * 7),
         ee_frame_name="panda_hand_tcp",
         w_q=np.full(7, 1.0), w_qdot=np.full(7, 0.1),
         w_qddot=np.zeros(7), w_robot_effort=np.zeros(7),
