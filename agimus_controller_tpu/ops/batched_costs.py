@@ -288,9 +288,40 @@ def make_batched_cost_pack(
     nx = 2 * nj
     timesteps = jnp.asarray(spec.timesteps(), dtype)
 
+    # ------------------------------------------------------------------
+    # Component-native assembly.
+    #
+    # Derivative blocks are carried as nested python lists of [B] scalars
+    # (or python-float 0.0 for structural zeros, or shape-() tracers for
+    # state-independent entries like activation weights) and stacked into
+    # dense [B, ...] arrays exactly ONCE per pack. The dense-per-item
+    # einsum route lowered to MXU-hostile [B, 14, 14] batched tiny matmuls
+    # and dominated solve time (~90 ms/iter at B*T = 409600 on v5e);
+    # the component MAC loops fuse into full-lane VPU code instead.
+    # ------------------------------------------------------------------
+
+    def _cadd(a, b):
+        if isinstance(a, float) and a == 0.0:
+            return b
+        if isinstance(b, float) and b == 0.0:
+            return a
+        return a + b
+
+    def _cscale(s, a):
+        if isinstance(a, float) and a == 0.0:
+            return 0.0
+        return s * a
+
+    def _acc_vec(acc, contrib, wgt):
+        return [_cadd(a, _cscale(wgt, c)) for a, c in zip(acc, contrib)]
+
+    def _acc_mat(acc, contrib, wgt):
+        return [[_cadd(a, _cscale(wgt, c)) for a, c in zip(ar, cr)]
+                for ar, cr in zip(acc, contrib)]
+
     def item_terms(item: CostItem, x, u, t, refs, B, with_u):
-        """-> (l [B], lx, lu, lxx, lxu, luu) contributions."""
-        dt_ = 1.0  # caller scales
+        """-> (l [B], lx_c, lu_c, lxx_c, lxu_c, luu_c) component
+        contributions (None where the item has no such block)."""
         if item.kind == "state":
             xref = refs["xref"][t] if item.update else (
                 jnp.asarray(item.static_ref, x.dtype) if item.static_ref
@@ -298,11 +329,12 @@ def make_batched_cost_pack(
             w = refs["w_x"][t] if item.update else (
                 jnp.broadcast_to(jnp.asarray(item.act_weights, x.dtype), (nx,))
                 if item.act_weights is not None else jnp.ones((nx,), x.dtype))
-            r = x - xref[None]
-            l = 0.5 * jnp.sum(w[None] * r * r, axis=1)
-            lx = w[None] * r
-            lxx = jnp.broadcast_to(jnp.diag(w), (B, nx, nx))
-            return l, lx, None, lxx, None, None
+            r_c = [x[:, i] - xref[i] for i in range(nx)]
+            lx_c = [w[i] * r_c[i] for i in range(nx)]
+            l = 0.5 * sum(lx_c[i] * r_c[i] for i in range(nx))
+            lxx_c = [[w[i] if i == j else 0.0 for j in range(nx)]
+                     for i in range(nx)]
+            return l, lx_c, None, lxx_c, None, None
         if item.kind == "control":
             uref = refs["uref"][t] if item.update else (
                 jnp.asarray(item.static_ref, x.dtype) if item.static_ref
@@ -310,42 +342,47 @@ def make_batched_cost_pack(
             w = refs["w_u"][t] if item.update else (
                 jnp.broadcast_to(jnp.asarray(item.act_weights, x.dtype), (nj,))
                 if item.act_weights is not None else jnp.ones((nj,), x.dtype))
-            r = u - uref[None]
-            l = 0.5 * jnp.sum(w[None] * r * r, axis=1)
-            lu = w[None] * r
-            luu = jnp.broadcast_to(jnp.diag(w), (B, nj, nj))
-            return l, None, lu, None, None, luu
+            r_c = [u[:, i] - uref[i] for i in range(nj)]
+            lu_c = [w[i] * r_c[i] for i in range(nj)]
+            l = 0.5 * sum(lu_c[i] * r_c[i] for i in range(nj))
+            luu_c = [[w[i] if i == j else 0.0 for j in range(nj)]
+                     for i in range(nj)]
+            return l, None, lu_c, None, None, luu_c
         if item.kind == "control_grav":
             w = refs["w_u"][t] if item.update else (
                 jnp.broadcast_to(jnp.asarray(item.act_weights, x.dtype), (nj,))
                 if item.act_weights is not None else jnp.ones((nj,), x.dtype))
-            from .batched_dynamics import _rnea_scan
+            from .analytic_derivs import gravity_torque_with_dq
 
-            st = _StackedModel(model, params, x.dtype)
-
-            def grav_flat(xx):
-                qm = xx[:, :nj].T
-                zero = jnp.zeros_like(qm)
-                taus, _ = _rnea_scan(st, qm, zero, zero)
-                return jnp.stack(taus, axis=1)  # [B, nj]
-
-            gq, lin = jax.linearize(grav_flat, x)
-            # gravity torque depends on q only: skip the velocity tangents
-            basis = jnp.eye(nx, dtype=x.dtype)[:nj]
-            Jg = jax.vmap(lambda e: lin(jnp.broadcast_to(e, (B, nx))))(basis)
-            Jg = jnp.moveaxis(Jg, 0, 2)  # [B, nj, nj] = dg/dq
-            Jg = jnp.concatenate(
-                [Jg, jnp.zeros((B, nj, nx - nj), x.dtype)], axis=2)
-            r = u - gq
-            wr = w[None] * r
-            l = 0.5 * jnp.sum(w[None] * r * r, axis=1)
-            # J_u = I, J_x = -Jg
-            lu = wr
-            lx = -jnp.einsum("bri,br->bi", Jg, wr)
-            luu = jnp.broadcast_to(jnp.diag(w), (B, nj, nj))
-            lxx = jnp.einsum("bri,br,brj->bij", Jg, w[None] * jnp.ones_like(r), Jg)
-            lxu = -jnp.einsum("bri,br->bir", Jg, w[None] * jnp.ones_like(r))
-            return l, lx, lu, lxx, lxu, luu
+            tau_g, Dg = gravity_torque_with_dq(
+                sm, [x[:, i] for i in range(nj)])
+            r_c = [u[:, i] - tau_g[i] for i in range(nj)]
+            wr_c = [w[i] * r_c[i] for i in range(nj)]
+            l = 0.5 * sum(wr_c[i] * r_c[i] for i in range(nj))
+            lu_c = wr_c
+            luu_c = [[w[i] if i == j else 0.0 for j in range(nj)]
+                     for i in range(nj)]
+            # residual Jacobians: J_u = I, J_x = [-dg/dq, 0]
+            lx_c = [0.0] * nx
+            lxu_c = [[0.0] * nj for _ in range(nx)]
+            lxx_c = [[0.0] * nx for _ in range(nx)]
+            for i in range(nj):
+                s = 0.0
+                for r in range(nj):
+                    if not isinstance(Dg[r][i], float):
+                        s = _cadd(s, Dg[r][i] * wr_c[r])
+                        lxu_c[i][r] = -(w[r] * Dg[r][i])
+                lx_c[i] = _cscale(-1.0, s)
+            for i in range(nj):
+                for j in range(i, nj):
+                    s = 0.0
+                    for r in range(nj):
+                        if not (isinstance(Dg[r][i], float)
+                                or isinstance(Dg[r][j], float)):
+                            s = _cadd(s, w[r] * Dg[r][i] * Dg[r][j])
+                    lxx_c[i][j] = s
+                    lxx_c[j][i] = s
+            return l, lx_c, lu_c, lxx_c, lxu_c, luu_c
         if item.kind in _X_ONLY_KINDS:
             nr = item.residual_dim(model)
             fid = model.frame_id(item.frame) if item.frame else None
@@ -373,24 +410,6 @@ def make_batched_cost_pack(
             def r_flat(xx):
                 q = [xx[:, i] for i in range(nj)]
                 oR, op = _fk_world(sm, q)
-                if item.kind in ("frame_placement", "visual_servoing"):
-                    R, p = _frame_pose_c(model, params, oR, op, fid)
-                    refR, refp = _pose_target()
-                    rRT = (refR[0], refR[3], refR[6], refR[1], refR[4],
-                           refR[7], refR[2], refR[5], refR[8])
-                    dR = _matmul(rRT, R)
-                    dp = _matvec(rRT, _sub(p, refp))
-                    return jnp.stack(_log6_c(dR, dp), axis=1)  # [B, 6]
-                if item.kind == "frame_translation":
-                    _, p = _frame_pose_c(model, params, oR, op, fid)
-                    _, refp = _pose_target()
-                    return jnp.stack(_sub(p, refp), axis=1)  # [B, 3]
-                if item.kind == "frame_rotation":
-                    R, _ = _frame_pose_c(model, params, oR, op, fid)
-                    refR, _ = _pose_target()
-                    rRT = (refR[0], refR[3], refR[6], refR[1], refR[4],
-                           refR[7], refR[2], refR[5], refR[8])
-                    return jnp.stack(_log3_c(_matmul(rRT, R)), axis=1)
                 if item.kind == "frame_velocity":
                     v = [xx[:, nj + i] for i in range(nj)]
                     Rf, pf = _frame_pose_c(model, params, oR, op, fid)
@@ -412,17 +431,118 @@ def make_batched_cost_pack(
                     return d[:, None]  # [B, 1]
                 raise ValueError(item.kind)
 
-            r, lin = jax.linearize(r_flat, x)  # r [B, nr]
-            # frame poses / collision depend on q only: tangent passes for
-            # the velocity half are structurally zero — skip them
-            q_only = item.kind != "frame_velocity"
-            ndiff = nj if q_only else nx
-            basis = jnp.eye(nx, dtype=x.dtype)[:ndiff]
-            J = jax.vmap(lambda e: lin(jnp.broadcast_to(e, (B, nx))))(basis)
-            J = jnp.moveaxis(J, 0, 2)  # [B, nr, ndiff]
-            if q_only:
-                J = jnp.concatenate(
-                    [J, jnp.zeros((B, nr, nx - nj), x.dtype)], axis=2)
+            def _world_joint_twists(oR, op):
+                """World twist columns (w, v_at_origin) of each ancestor
+                joint of the frame's parent joint; None for non-ancestors."""
+                fr = model.frames[fid]
+                cols = [None] * nj
+                for k in _ancestors_static(model, fr.parent_joint):
+                    ax = sm.axis[k]
+                    if sm.types[k] == "revolute":
+                        wk = _matvec(oR[k], ax)
+                        cols[k] = (wk, _cross(op[k], wk))
+                    else:
+                        cols[k] = (None, _matvec(oR[k], ax))
+                return cols
+
+            # Jc[o][i]: residual Jacobian components ([B] scalars / 0.0),
+            # o < nr, i < nx
+            Jc = [[0.0] * nx for _ in range(nr)]
+
+            if item.kind in ("frame_placement", "visual_servoing",
+                             "frame_rotation", "frame_translation"):
+                # analytic frame Jacobian + tangents only through the small
+                # log map (6 or 3 dims) instead of nj full FK+log passes
+                q = [x[:, i] for i in range(nj)]
+                oR, op = _fk_world(sm, q)
+                Rf, pf = _frame_pose_c(model, params, oR, op, fid)
+                refR, refp = _pose_target()
+                rRT = (refR[0], refR[3], refR[6], refR[1], refR[4],
+                       refR[7], refR[2], refR[5], refR[8])
+                twists = _world_joint_twists(oR, op)
+
+                if item.kind == "frame_translation":
+                    r = jnp.stack(_sub(pf, refp), axis=1)  # [B, 3]
+                    for k, tw in enumerate(twists):
+                        if tw is None:
+                            continue
+                        wk, v0 = tw
+                        # d p / d q_k = v0 + w x p (velocity of the frame
+                        # origin under the joint's unit twist)
+                        dp = _add(v0, _cross(wk, pf)) if wk is not None else v0
+                        for o in range(3):
+                            Jc[o][k] = dp[o]
+                else:
+                    dR = _matmul(rRT, Rf)
+                    dp = _matvec(rRT, _sub(pf, refp))
+                    rot_only = item.kind == "frame_rotation"
+                    ndelta = 3 if rot_only else 6
+
+                    def log_of_delta(delta):
+                        # D exp(dlt) to first order: R' = dR (I + [w x]),
+                        # p' = dR v + dp ; exact at delta = 0 where the
+                        # linearization is taken
+                        wd = (delta[:, 0], delta[:, 1], delta[:, 2])
+                        wx = (0.0, -wd[2], wd[1],
+                              wd[2], 0.0, -wd[0],
+                              -wd[1], wd[0], 0.0)
+                        Rp = _add(dR, _matmul(dR, wx))
+                        if rot_only:
+                            return jnp.stack(_log3_c(Rp), axis=1)
+                        vd = (delta[:, 3], delta[:, 4], delta[:, 5])
+                        pp = _add(_matvec(dR, vd), dp)
+                        return jnp.stack(_log6_c(Rp, pp), axis=1)
+
+                    zero_d = jnp.zeros((B, ndelta), x.dtype)
+                    r, lin = jax.linearize(log_of_delta, zero_d)
+                    # Jlog columns as components: [nr][ndelta] of [B]
+                    Jl = [[None] * ndelta for _ in range(nr)]
+                    for s_ in range(ndelta):
+                        e = jnp.zeros((ndelta,), x.dtype).at[s_].set(1.0)
+                        col = lin(jnp.broadcast_to(e, (B, ndelta)))  # [B, nr]
+                        for o in range(nr):
+                            Jl[o][s_] = col[:, o]
+
+                    # local frame Jacobian columns: delta = Jf dq
+                    rows = [[0.0] * nj for _ in range(ndelta)]
+                    RfT = (Rf[0], Rf[3], Rf[6], Rf[1], Rf[4], Rf[7],
+                           Rf[2], Rf[5], Rf[8])
+                    for k, tw in enumerate(twists):
+                        if tw is None:
+                            continue
+                        wk, v0 = tw
+                        if wk is not None:
+                            wl = _matvec(RfT, wk)
+                            v_at = _add(v0, _cross(wk, pf))
+                            for o in range(3):
+                                rows[o][k] = wl[o]
+                        else:
+                            v_at = v0
+                        if not rot_only:
+                            vl = _matvec(RfT, v_at)
+                            for o in range(3):
+                                rows[3 + o][k] = vl[o]
+                    # Jc = Jlog @ Jf, component MACs
+                    for o in range(nr):
+                        for k in range(nj):
+                            s = 0.0
+                            for s_ in range(ndelta):
+                                if not isinstance(rows[s_][k], float):
+                                    s = _cadd(s, Jl[o][s_] * rows[s_][k])
+                            Jc[o][k] = s
+            elif item.kind == "collision_distance":
+                # scalar residual: ONE reverse pull instead of nj tangents
+                r, pull = jax.vjp(r_flat, x)
+                (Jx,) = pull(jnp.ones_like(r))
+                for i in range(nj):
+                    Jc[0][i] = Jx[:, i]
+            else:  # frame_velocity: generic tangents (x-dependent residual)
+                r, lin = jax.linearize(r_flat, x)  # r [B, nr]
+                for i in range(nx):
+                    e = jnp.zeros((nx,), x.dtype).at[i].set(1.0)
+                    col = lin(jnp.broadcast_to(e, (B, nx)))  # [B, nr]
+                    for o in range(nr):
+                        Jc[o][i] = col[:, o]
 
             # activation weights (mirrors costs._item_act_weights)
             if item.update and item.kind in ("frame_placement",
@@ -454,20 +574,45 @@ def make_batched_cost_pack(
                 a_dr = act.quad_exp_dr(r, w, item.act_alpha)
                 a_drr = act.quad_exp_drr(r, w, item.act_alpha)
 
-            lx = jnp.einsum("bri,br->bi", J, a_dr)
-            lxx = jnp.einsum("bri,br,brj->bij", J, a_drr, J)
-            return l, lx, None, lxx, None, None
+            adr_c = [a_dr[:, o] for o in range(nr)]
+            adrr_c = [a_drr[:, o] for o in range(nr)]
+            lx_c = [0.0] * nx
+            lxx_c = [[0.0] * nx for _ in range(nx)]
+            # scaled rows JW[o][i] = a_drr[o] * Jc[o][i] shared across lxx
+            JW = [[_cscale_arr(adrr_c[o], Jc[o][i]) for i in range(nx)]
+                  for o in range(nr)]
+            for i in range(nx):
+                s = 0.0
+                for o in range(nr):
+                    if not isinstance(Jc[o][i], float):
+                        s = _cadd(s, Jc[o][i] * adr_c[o])
+                lx_c[i] = s
+            for i in range(nx):
+                for j in range(i, nx):
+                    s = 0.0
+                    for o in range(nr):
+                        if not (isinstance(JW[o][i], float)
+                                or isinstance(Jc[o][j], float)):
+                            s = _cadd(s, JW[o][i] * Jc[o][j])
+                    lxx_c[i][j] = s
+                    lxx_c[j][i] = s
+            return l, lx_c, None, lxx_c, None, None
         raise ValueError(item.kind)
 
+    def _cscale_arr(s, a):
+        if isinstance(a, float) and a == 0.0:
+            return 0.0
+        return s * a
+
     def assemble(items, x, u, t, refs, with_u: bool):
+        """Accumulate all items in component form; returns components."""
         B = x.shape[0]
-        dtype_ = x.dtype
-        l = jnp.zeros((B,), dtype_)
-        lx = jnp.zeros((B, nx), dtype_)
-        lu = jnp.zeros((B, nj), dtype_)
-        lxx = jnp.zeros((B, nx, nx), dtype_)
-        lxu = jnp.zeros((B, nx, nj), dtype_)
-        luu = jnp.zeros((B, nj, nj), dtype_)
+        l = jnp.zeros((B,), x.dtype)
+        lx = [0.0] * nx
+        lu = [0.0] * nj
+        lxx = [[0.0] * nx for _ in range(nx)]
+        lxu = [[0.0] * nj for _ in range(nx)]
+        luu = [[0.0] * nj for _ in range(nj)]
         for item in items:
             if not item.active:
                 continue
@@ -479,28 +624,51 @@ def make_batched_cost_pack(
                 item, x, u, t, refs, B, with_u)
             l = l + wgt * li
             if lxi is not None:
-                lx = lx + wgt * lxi
+                lx = _acc_vec(lx, lxi, wgt)
             if lui is not None:
-                lu = lu + wgt * lui
+                lu = _acc_vec(lu, lui, wgt)
             if lxxi is not None:
-                lxx = lxx + wgt * lxxi
+                lxx = _acc_mat(lxx, lxxi, wgt)
             if lxui is not None:
-                lxu = lxu + wgt * lxui
+                lxu = _acc_mat(lxu, lxui, wgt)
             if luui is not None:
-                luu = luu + wgt * luui
-        if not with_u:
-            return l, lx, lxx
+                luu = _acc_mat(luu, luui, wgt)
         return l, lx, lu, lxx, lxu, luu
+
+    def _stack_vec(comps, B, dtype_, scale=None):
+        cols = []
+        for c in comps:
+            if scale is not None:
+                c = _cscale(scale, c)
+            if isinstance(c, float):
+                cols.append(jnp.full((B,), c, dtype_))
+            else:
+                cols.append(jnp.broadcast_to(jnp.asarray(c, dtype_), (B,)))
+        return jnp.stack(cols, axis=1)
+
+    def _stack_mat(comps, B, dtype_, scale=None):
+        return jnp.stack(
+            [_stack_vec(row, B, dtype_, scale) for row in comps], axis=1)
 
     def pack(x, u, t, refs):
         dt_ = timesteps[t]
-        l, lx, lu, lxx, lxu, luu = assemble(spec.running_costs, x, u, t, refs, True)
-        return dt_ * l, dt_ * lx, dt_ * lu, dt_ * lxx, dt_ * lxu, dt_ * luu
+        B = x.shape[0]
+        dtp = x.dtype
+        l, lx, lu, lxx, lxu, luu = assemble(
+            spec.running_costs, x, u, t, refs, True)
+        return (dt_ * l,
+                _stack_vec(lx, B, dtp, dt_),
+                _stack_vec(lu, B, dtp, dt_),
+                _stack_mat(lxx, B, dtp, dt_),
+                _stack_mat(lxu, B, dtp, dt_),
+                _stack_mat(luu, B, dtp, dt_))
 
     def term_pack(x, refs):
         u0 = jnp.zeros((x.shape[0], nj), x.dtype)
-        l, lx, lxx = assemble(spec.terminal_costs, x, u0, spec.horizon, refs, False)
-        return l, lx, lxx
+        B = x.shape[0]
+        l, lx, _, lxx, _, _ = assemble(
+            spec.terminal_costs, x, u0, spec.horizon, refs, False)
+        return l, _stack_vec(lx, B, x.dtype), _stack_mat(lxx, B, x.dtype)
 
     def value(x, u, t, refs):
         l, *_ = assemble(spec.running_costs, x, u, t, refs, True)
@@ -508,7 +676,7 @@ def make_batched_cost_pack(
 
     def term_value(x, refs):
         u0 = jnp.zeros((x.shape[0], nj), x.dtype)
-        l, _, _ = assemble(spec.terminal_costs, x, u0, spec.horizon, refs, False)
+        l, *_ = assemble(spec.terminal_costs, x, u0, spec.horizon, refs, False)
         return l
 
     return pack, term_pack, value, term_value

@@ -504,19 +504,22 @@ def make_batched_step(model: RobotModel, params: ModelParams, dt: float = None,
 
 
 def make_batched_step_with_derivs(model: RobotModel, params: ModelParams,
-                                  dt: float = None, deriv_mode: str = "vjp"):
+                                  dt: float = None,
+                                  deriv_mode: str = "analytic"):
     """Returns `f(x, u, dt_=None) -> (x_next [B,nx], Fx [B,nx,nx],
     Fu [B,nx,nu])`. `dt` fixed at build or per call (scalar or [B]).
 
     Derivatives via the RNEA identity, then the Euler chain rule — all in
     component layout. ``deriv_mode`` selects how d rnea/d(q,v) is formed:
 
-    - "vjp" (default): the Jacobian is [nj, 2nj] — nj *rows* via reverse-mode
-      pulls is ~2x cheaper than 2nj forward tangents (7 vs 14 RNEA-sized
-      passes for the Panda).
-    - "jvp": 2nj forward tangents via `jax.linearize` (reference path).
+    - "analytic" (default): closed-form derivatives of the recursive
+      Newton-Euler algorithm (`ops/analytic_derivs.py`) — the batched
+      equivalent of Pinocchio's `computeRNEADerivatives` (the reference's
+      hot-loop path, SURVEY.md N3) at ~1/5 the flops of the AD routes.
+    - "vjp": nj reverse-mode pulls (~2x cheaper than 2nj forward tangents).
+    - "jvp": 2nj forward tangents via `jax.linearize`.
     """
-    if deriv_mode not in ("vjp", "jvp"):
+    if deriv_mode not in ("analytic", "vjp", "jvp"):
         raise ValueError(deriv_mode)
     sm = _StaticModel(model, params)
     nj = sm.nj
@@ -526,32 +529,48 @@ def make_batched_step_with_derivs(model: RobotModel, params: ModelParams,
         B = x.shape[0]
         st = _StackedModel(model, params, x.dtype)
         a, M, Xs, qm, vm = _fd_core(st, sm, x, u)
-        a_stacked = jnp.stack(a)  # [nj, B]
 
-        # d rnea(q, v, a)/d(q, v) at the solution a (a held fixed)
-        def rnea_flat(qv):
-            taus, _ = _rnea_scan(st, qv[:, :nj].T, qv[:, nj:].T, a_stacked)
-            return jnp.stack(taus, axis=1)  # [B, nj]
+        eye = jnp.eye(nj, dtype=x.dtype)
+        if deriv_mode == "analytic":
+            from .analytic_derivs import rnea_qv_derivatives
 
-        if deriv_mode == "vjp":
-            _, pullback = jax.vjp(rnea_flat, x)
-            basis_o = jnp.eye(nj, dtype=x.dtype)
-            # Drow[i] = d tau_i / d qv : [nj, B, 2nj]
-            Drow = jax.vmap(
-                lambda e: pullback(jnp.broadcast_to(e, (B, nj)))[0]
-            )(basis_o)
+            q_l = [qm[i] for i in range(nj)]
+            v_l = [vm[i] for i in range(nj)]
+            Dq, Dv = rnea_qv_derivatives(sm, q_l, v_l, list(a), Xs)
+            zero = jnp.zeros_like(qm[0])
+            pack = lambda e: e if not isinstance(e, float) else zero
+            # Drow[i] : [B, 2nj] = d tau_i / d (q, v)
+            Drow = [
+                jnp.stack([pack(Dq[i][j]) for j in range(nj)]
+                          + [pack(Dv[i][j]) for j in range(nj)], axis=1)
+                for i in range(nj)
+            ]
         else:
-            _, rnea_lin = jax.linearize(rnea_flat, x)
-            basis = jnp.eye(2 * nj, dtype=x.dtype)
-            # D[k] = d rnea / d qv_k : [2nj, B, nj]
-            D = jax.vmap(
-                lambda e: rnea_lin(jnp.broadcast_to(e, (B, 2 * nj)))
-            )(basis)
-            Drow = jnp.moveaxis(D, (0, 2), (2, 0))  # [nj, B, 2nj]
+            a_stacked = jnp.stack(a)  # [nj, B]
+
+            # d rnea(q, v, a)/d(q, v) at the solution a (a held fixed)
+            def rnea_flat(qv):
+                taus, _ = _rnea_scan(st, qv[:, :nj].T, qv[:, nj:].T, a_stacked)
+                return jnp.stack(taus, axis=1)  # [B, nj]
+
+            if deriv_mode == "vjp":
+                _, pullback = jax.vjp(rnea_flat, x)
+                basis_o = jnp.eye(nj, dtype=x.dtype)
+                # Drow[i] = d tau_i / d qv : [nj, B, 2nj]
+                Drow = jax.vmap(
+                    lambda e: pullback(jnp.broadcast_to(e, (B, nj)))[0]
+                )(basis_o)
+            else:
+                _, rnea_lin = jax.linearize(rnea_flat, x)
+                basis = jnp.eye(2 * nj, dtype=x.dtype)
+                # D[k] = d rnea / d qv_k : [2nj, B, nj]
+                D = jax.vmap(
+                    lambda e: rnea_lin(jnp.broadcast_to(e, (B, 2 * nj)))
+                )(basis)
+                Drow = jnp.moveaxis(D, (0, 2), (2, 0))  # [nj, B, 2nj]
 
         # ONE factorization, ALL columns packed on a trailing axis:
         # nj unit columns (-> M~^-1) then 2nj tangent columns (-> da/dqv)
-        eye = jnp.eye(nj, dtype=x.dtype)
         rhs = [
             jnp.concatenate(
                 [jnp.broadcast_to(eye[i], (B, nj)), -Drow[i]],
