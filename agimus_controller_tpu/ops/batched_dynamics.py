@@ -505,7 +505,7 @@ def make_batched_step(model: RobotModel, params: ModelParams, dt: float = None,
 
 def make_batched_step_with_derivs(model: RobotModel, params: ModelParams,
                                   dt: float = None,
-                                  deriv_mode: str = "analytic"):
+                                  deriv_mode: str = None):
     """Returns `f(x, u, dt_=None) -> (x_next [B,nx], Fx [B,nx,nx],
     Fu [B,nx,nu])`. `dt` fixed at build or per call (scalar or [B]).
 
@@ -517,8 +517,19 @@ def make_batched_step_with_derivs(model: RobotModel, params: ModelParams,
       equivalent of Pinocchio's `computeRNEADerivatives` (the reference's
       hot-loop path, SURVEY.md N3) at ~1/5 the flops of the AD routes.
     - "vjp": nj reverse-mode pulls (~2x cheaper than 2nj forward tangents).
+      Mathematically identical to "analytic" (tested to 2e-5 in f32); its
+      scan-of-scans graph is ~10x smaller, which matters only for XLA:CPU
+      compile time (the virtual-mesh dryrun) — on TPU "analytic" is 2x
+      faster at runtime.
     - "jvp": 2nj forward tangents via `jax.linearize`.
+
+    When ``deriv_mode`` is None it resolves from ``AGIMUS_DERIV_MODE``
+    (default "analytic") at build time.
     """
+    if deriv_mode is None:
+        import os
+
+        deriv_mode = os.environ.get("AGIMUS_DERIV_MODE", "analytic")
     if deriv_mode not in ("analytic", "vjp", "jvp"):
         raise ValueError(deriv_mode)
     sm = _StaticModel(model, params)

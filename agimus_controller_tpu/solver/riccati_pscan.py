@@ -62,6 +62,49 @@ def _combine(e2: _Elem, e1: _Elem) -> _Elem:
     return _Elem(A, b, C, eta, J)
 
 
+def _stage_elements(lx, lu, lxx, lxu, luu, Fx, Fu, fs_next, reg):
+    """Per-stage conditional-value elements (control eliminated)."""
+    nu = lu.shape[-1]
+    eye_u = jnp.eye(nu, dtype=lx.dtype)
+    # eliminate the control at each stage (complete the square):
+    # luu~ = luu + reg I ;  Kc = luu~^-1 lxu^T ; kc = luu~^-1 lu
+    luu_r = luu + reg * eye_u
+    Lc = jnp.linalg.cholesky(luu_r)
+    solve_u = lambda Bm: jax.vmap(
+        lambda L, bb: jax.scipy.linalg.cho_solve((L, True), bb))(Lc, Bm)
+    lxuT = jnp.swapaxes(lxu, -1, -2)
+    Kc = solve_u(lxuT)  # [T, nu, nx]
+    kc = solve_u(lu)  # [T, nu]
+    At = Fx - jnp.einsum("tij,tjk->tik", Fu, Kc)
+    bt = fs_next - jnp.einsum("tij,tj->ti", Fu, kc)
+    Ct = jnp.einsum("tij,tjk->tik", Fu, solve_u(jnp.swapaxes(Fu, -1, -2)))
+    Jt = lxx - jnp.einsum("tji,tjk->tik", lxuT, Kc)
+    Jt = 0.5 * (Jt + jnp.swapaxes(Jt, -1, -2))
+    etat = -(lx - jnp.einsum("tji,tj->ti", lxuT, kc))
+    return _Elem(A=At, b=bt, C=Ct, eta=etat, J=Jt)
+
+
+def _terminal_element(term_lx, term_lxx):
+    nx = term_lx.shape[-1]
+    zero = jnp.zeros((nx, nx), term_lx.dtype)
+    return _Elem(A=zero, b=jnp.zeros((nx,), term_lx.dtype), C=zero,
+                 eta=-term_lx, J=term_lxx)
+
+
+def _gains_at(t_lx, t_lu, t_lxx, t_lxu, t_luu, t_Fx, t_Fu, f_next,
+              Vx_n, Vxx_n, reg):
+    """Standard one-shot gain recovery at a node given V_{t+1}."""
+    nu = t_lu.shape[-1]
+    Vx_plus = Vx_n + Vxx_n @ f_next
+    Qu = t_lu + t_Fu.T @ Vx_plus
+    Qux = t_lxu.T + t_Fu.T @ Vxx_n @ t_Fx
+    Quu = t_luu + t_Fu.T @ Vxx_n @ t_Fu + reg * jnp.eye(nu, dtype=t_lu.dtype)
+    L = jnp.linalg.cholesky(Quu)
+    kk = jax.scipy.linalg.cho_solve((L, True), Qu)
+    KK = jax.scipy.linalg.cho_solve((L, True), Qux)
+    return kk, KK, Qu, Qu @ kk, kk @ Quu @ kk
+
+
 def parallel_riccati(lx, lu, lxx, lxu, luu, Fx, Fu, fs, term_lx, term_lxx, reg=0.0):
     """All-node value functions + gains in O(log T) depth.
 
@@ -75,34 +118,12 @@ def parallel_riccati(lx, lu, lxx, lxu, luu, Fx, Fu, fs, term_lx, term_lxx, reg=0
     T, nx = lx.shape
     nu = lu.shape[-1]
     dtype = lx.dtype
-    eye_u = jnp.eye(nu, dtype=dtype)
 
-    # eliminate the control at each stage (complete the square):
-    # luu~ = luu + reg I ;  Kc = luu~^-1 lxu^T ; kc = luu~^-1 lu
-    luu_r = luu + reg * eye_u
-    Lc = jnp.linalg.cholesky(luu_r)
-    solve_u = lambda Bm: jax.vmap(
-        lambda L, bb: jax.scipy.linalg.cho_solve((L, True), bb))(Lc, Bm)
-    lxuT = jnp.swapaxes(lxu, -1, -2)
-    Kc = solve_u(lxuT)  # [T, nu, nx]
-    kc = solve_u(lu)  # [T, nu]
-    # transformed stage quantities
-    At = Fx - jnp.einsum("tij,tjk->tik", Fu, Kc)
-    bt = fs[1:] - jnp.einsum("tij,tj->ti", Fu, kc)
-    Ct = jnp.einsum("tij,tjk->tik", Fu, solve_u(jnp.swapaxes(Fu, -1, -2)))
-    Jt = lxx - jnp.einsum("tji,tjk->tik", lxuT, Kc)
-    Jt = 0.5 * (Jt + jnp.swapaxes(Jt, -1, -2))
-    etat = -(lx - jnp.einsum("tji,tj->ti", lxuT, kc))
+    st = _stage_elements(lx, lu, lxx, lxu, luu, Fx, Fu, fs[1:], reg)
+    At, bt, Ct, etat, Jt = st.A, st.b, st.C, st.eta, st.J
 
     # terminal element
-    zero = jnp.zeros((1, nx, nx), dtype)
-    eT = _Elem(
-        A=zero,  # nothing beyond the terminal node
-        b=jnp.zeros((1, nx), dtype),
-        C=zero,
-        eta=-term_lx[None],
-        J=term_lxx[None],
-    )
+    eT = jax.tree.map(lambda a: a[None], _terminal_element(term_lx, term_lxx))
     elems = _Elem(
         A=jnp.concatenate([At, eT.A]),
         b=jnp.concatenate([bt, eT.b]),
@@ -116,16 +137,7 @@ def parallel_riccati(lx, lu, lxx, lxu, luu, Fx, Fu, fs, term_lx, term_lxx, reg=0
     Vx = -out.eta  # convention: eta = -Vx
 
     # recover gains with the standard one-shot pass using V_{t+1}
-    def gains(t_lx, t_lu, t_lxx, t_lxu, t_luu, t_Fx, t_Fu, f_next, Vx_n, Vxx_n):
-        Vx_plus = Vx_n + Vxx_n @ f_next
-        Qu = t_lu + t_Fu.T @ Vx_plus
-        Qux = t_lxu.T + t_Fu.T @ Vxx_n @ t_Fx
-        Quu = t_luu + t_Fu.T @ Vxx_n @ t_Fu + reg * jnp.eye(nu, dtype=dtype)
-        L = jnp.linalg.cholesky(Quu)
-        kk = jax.scipy.linalg.cho_solve((L, True), Qu)
-        KK = jax.scipy.linalg.cho_solve((L, True), Qux)
-        return kk, KK, Qu, Qu @ kk, kk @ Quu @ kk
-
-    ks, Ks, Qus, d1_t, d2_t = jax.vmap(gains)(
+    ks, Ks, Qus, d1_t, d2_t = jax.vmap(
+        lambda *a: _gains_at(*a, reg))(
         lx, lu, lxx, lxu, luu, Fx, Fu, fs[1:], Vx[1:], Vxx[1:])
     return ks, Ks, Qus, Vx, Vxx, jnp.sum(d1_t), jnp.sum(d2_t)
