@@ -14,7 +14,7 @@ import numpy as np
 from ..models.model import ModelParams, RobotModel
 
 _SRC_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-_SOURCES = ["rbd_kernels.cpp", "ring_buffer.cpp"]
+_SOURCES = ["rbd_kernels.cpp", "ring_buffer.cpp", "fddp_oracle.cpp"]
 _lib: Optional[ctypes.CDLL] = None
 
 
@@ -53,6 +53,14 @@ def _load() -> ctypes.CDLL:
         _lib.rb_latest.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         _lib.rb_size.restype = ctypes.c_uint64
         _lib.rb_size.argtypes = [ctypes.c_void_p]
+        _lib.fddp_oracle_solve.restype = ctypes.c_int
+        _lib.fddp_oracle_solve.argtypes = (
+            model_sig + [c_dp]  # armature
+            + [ctypes.c_int] + [ctypes.c_double] * 4  # T, dt, weights
+            + [c_dp, ctypes.c_int, c_dp, c_dp, c_dp, c_dp]  # xref, frame
+            + [c_dp, ctypes.c_int, ctypes.c_double]  # x0, max_iters, tol
+            + [c_dp, c_dp, c_dp, ctypes.POINTER(ctypes.c_int)]
+        )
     return _lib
 
 
@@ -110,6 +118,34 @@ class NativeRBD:
         self._lib.forward_dynamics(
             *self._margs(), _dp(self._armature), _dp(q), _dp(v), _dp(tau), _dp(a))
         return a
+
+
+class NativeFDDP(NativeRBD):
+    """Independent C++ iLQR/FDDP on the goal-reaching OCP — the
+    cross-language full-solve oracle (BASELINE.md accuracy target: u-error
+    < 1e-4 vs an independent FDDP on the same horizon; Crocoddyl is not
+    installable here, `native/fddp_oracle.cpp` is the stand-in)."""
+
+    def solve(self, *, T: int, dt: float, w_state: float, w_ctrl: float,
+              w_goal: float, xref: np.ndarray, frame_joint: int,
+              frame_rot: np.ndarray, frame_trans: np.ndarray,
+              goal_rot: np.ndarray, goal_trans: np.ndarray, x0: np.ndarray,
+              max_iters: int = 200, tol: float = 1e-9):
+        nx, nu = 2 * self.nj, self.nj
+        c = lambda a: np.ascontiguousarray(a, dtype=np.float64).reshape(-1)
+        xs = np.zeros((T + 1) * nx)
+        us = np.zeros(T * nu)
+        kkt = ctypes.c_double()
+        iters = ctypes.c_int()
+        rc = self._lib.fddp_oracle_solve(
+            *self._margs(), _dp(self._armature),
+            T, dt, w_state, w_ctrl, w_goal,
+            _dp(c(xref)), int(frame_joint), _dp(c(frame_rot)),
+            _dp(c(frame_trans)), _dp(c(goal_rot)), _dp(c(goal_trans)),
+            _dp(c(x0)), max_iters, tol,
+            _dp(xs), _dp(us), ctypes.byref(kkt), ctypes.byref(iters))
+        return (rc, xs.reshape(T + 1, nx), us.reshape(T, nu),
+                float(kkt.value), int(iters.value))
 
 
 class RingBuffer:
