@@ -167,6 +167,13 @@ class CostFunctions(NamedTuple):
     terminal_constraint_row_mask: Tuple[bool, ...]  # per stacked residual row
     cost_breakdown: callable = None  # per-cost (value, residual) dict at a node
     cost_derivs: callable = None  # GN cost pack without dynamics
+    # Lie-group state semantics (None = plain vector state). When set, the
+    # solvers use these for gaps/rollout and all derivative blocks are in
+    # tangent coordinates of dimension ntan (reference: StateMultibody
+    # diff/integrate, `factory/robot_model.py:17`).
+    state_diff: callable = None  # (x1, x0) -> tangent [ntan]
+    state_integrate: callable = None  # (x, dx[ntan]) -> x
+    ntan: int = None
 
 
 def build_cost_functions(

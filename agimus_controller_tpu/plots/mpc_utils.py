@@ -17,9 +17,100 @@ from .pin_utils import get_p_
 from .plots_utils import _maybe_plt
 
 
-def extract_plot_data_from_sim_data(mpc_data: Dict, dt: float) -> Dict:
-    """Recorder dict -> plotting arrays (reference
-    `extract_plot_data_from_sim_data`, `mpc_utils.py:113`)."""
+def init_sim_data(T: int, nx: int, nu: int, *, dt_plan: float,
+                  dt_mpc: float, dt_sim: float, duration: float) -> Dict:
+    """Pre-allocated three-rate simulation arrays (reference
+    `init_sim_data`, `mpc_utils.py:26-111`): planning/OCP rate for the
+    prediction matrices, MPC rate for applied controls and measured ticks,
+    SIM rate for the high-rate simulator measurements.  Fill with
+    `record_plan` / `record_mpc` / `record_sim`."""
+    for name, fine, coarse in (("dt_mpc/dt_plan", dt_mpc, dt_plan),
+                               ("dt_sim/dt_mpc", dt_sim, dt_mpc)):
+        ratio = coarse / fine
+        if abs(ratio - round(ratio)) > 1e-9:
+            raise ValueError(f"{name} must divide evenly, got {ratio}")
+    N_plan = int(round(duration / dt_plan))
+    N_mpc = int(round(duration / dt_mpc))
+    N_sim = int(round(duration / dt_sim))
+    return {
+        "T": T, "nx": nx, "nu": nu,
+        "dt_plan": dt_plan, "dt_mpc": dt_mpc, "dt_sim": dt_sim,
+        "N_plan": N_plan, "N_mpc": N_mpc, "N_sim": N_sim,
+        "state_pred": np.zeros((N_plan, T + 1, nx)),
+        "ctrl_pred": np.zeros((N_plan, T, nu)),
+        "state_ref": np.zeros((N_plan, nx)),
+        "x_mea_MPC": np.zeros((N_mpc + 1, nx)),
+        "u_app_MPC": np.zeros((N_mpc, nu)),
+        "x_mea_SIM": np.zeros((N_sim + 1, nx)),
+        "_i_plan": 0, "_i_mpc": 0, "_i_sim": 0,
+    }
+
+
+def record_plan(sd: Dict, xs_pred, us_pred, x_ref=None) -> None:
+    i = sd["_i_plan"]
+    sd["state_pred"][i] = np.asarray(xs_pred)
+    sd["ctrl_pred"][i] = np.asarray(us_pred)
+    if x_ref is not None:
+        sd["state_ref"][i] = np.asarray(x_ref)
+    sd["_i_plan"] = i + 1
+
+
+def record_mpc(sd: Dict, x_mea, u_applied) -> None:
+    i = sd["_i_mpc"]
+    sd["x_mea_MPC"][i] = np.asarray(x_mea)
+    sd["u_app_MPC"][i] = np.asarray(u_applied)
+    sd["_i_mpc"] = i + 1
+
+
+def record_sim(sd: Dict, x_mea) -> None:
+    i = sd["_i_sim"]
+    sd["x_mea_SIM"][i] = np.asarray(x_mea)
+    sd["_i_sim"] = i + 1
+
+
+def _is_three_rate(d: Dict) -> bool:
+    return "x_mea_SIM" in d
+
+
+def extract_plot_data_from_sim_data(mpc_data: Dict, dt: float = None) -> Dict:
+    """Recorder dict OR three-rate sim-data -> plotting arrays (reference
+    `extract_plot_data_from_sim_data`, `mpc_utils.py:113`).
+
+    Three-rate inputs get: measured curves at SIM rate, applied controls at
+    MPC rate (zero-order hold up to SIM rate for the overlay), prediction
+    tails at the planning rate — plus the x0*/x1* interpolation of the
+    first prediction interval at MPC ticks (`plot_tails.py:29-115`)."""
+    if _is_three_rate(mpc_data):
+        sd = mpc_data
+        xs = np.asarray(sd["state_pred"])[:sd["_i_plan"]]
+        us = np.asarray(sd["ctrl_pred"])[:sd["_i_plan"]]
+        N, T1, nx = xs.shape
+        nq = nx // 2
+        n_sim = sd["_i_sim"]
+        n_mpc = sd["_i_mpc"]
+        x_sim = sd["x_mea_SIM"][:n_sim]
+        t_sim = np.arange(n_sim) * sd["dt_sim"]
+        # zero-order hold of MPC controls onto the SIM axis
+        hold = max(1, int(round(sd["dt_mpc"] / sd["dt_sim"])))
+        u_mpc = sd["u_app_MPC"][:n_mpc]
+        u_sim = np.repeat(u_mpc, hold, axis=0)[:n_sim]
+        # x0*/x1* interpolation: first prediction interval sampled at the
+        # MPC ticks inside one planning period
+        sub = max(1, int(round(sd["dt_plan"] / sd["dt_mpc"])))
+        alphas = (np.arange(sub) / sub)[None, :, None]
+        x01 = (1 - alphas) * xs[:, 0:1, :] + alphas * xs[:, 1:2, :]
+        x_interp_mpc = x01.reshape(N * sub, nx)[:n_mpc]
+        return {
+            "N": N, "T": T1 - 1, "nq": nq, "dt": sd["dt_plan"],
+            "time": t_sim,
+            "q_measured": x_sim[:, :nq],
+            "v_measured": x_sim[:, nq:2 * nq],
+            "u_applied": u_sim,
+            "xs_pred": xs, "us_pred": us,
+            "time_mpc": np.arange(n_mpc) * sd["dt_mpc"],
+            "x_pred_interp_mpc": x_interp_mpc,
+            "tail_stride": max(1, int(round(sd["dt_plan"] / sd["dt_sim"]))),
+        }
     xs = np.asarray(mpc_data["state_predictions"])  # [N, T+1, nx]
     us = np.asarray(mpc_data["control_predictions"])  # [N, T, nu]
     N, T1, nx = xs.shape

@@ -91,3 +91,96 @@ class MPCDebugger:
         ))
         qs = jnp.asarray(xs[:, : self._model.nq], self._ocp._dtype)
         return np.asarray(f(qs))
+
+
+class LiveDebugView:
+    """Live rendering of the debugger data: animated per-cost bar chart,
+    normalized |dL/dx| heatmap and the FK-projected EE prediction path —
+    the reference's matplotlib animation + RViz marker stream
+    (`mpc_debugger_node.py:269-379` cost plots, `:450-611` markers).
+
+    Interactive sessions get a redrawing figure (`update` + `plt.pause`);
+    headless runs render each tick to a PNG under ``out_dir``
+    (`render_run`), which is also what the tests exercise.
+    """
+
+    def __init__(self, debugger: MPCDebugger, ee_frame: Optional[str] = None,
+                 interactive: bool = False):
+        import matplotlib
+
+        if not interactive:
+            matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+
+        self._plt = plt
+        self._dbg = debugger
+        self._frame = ee_frame
+        self._interactive = interactive
+        ncols = 3 if ee_frame else 2
+        self._fig, axes = plt.subplots(1, ncols, figsize=(5 * ncols, 4))
+        self._ax_bar, self._ax_heat = axes[0], axes[1]
+        self._ax_ee = axes[2] if ee_frame else None
+        self._bars = None
+        self._im = None
+        self._ee_line = None
+
+    def update(self, xs: np.ndarray, us: np.ndarray) -> Dict:
+        """Re-evaluate the OCP on a received prediction and redraw."""
+        data = self._dbg.evaluate(xs, us)
+        names = list(data["running_costs"].keys())
+        totals = [float(np.sum(v)) for v in data["running_costs"].values()]
+        if self._bars is None:
+            self._bars = self._ax_bar.bar(range(len(names)), totals)
+            self._ax_bar.set_xticks(range(len(names)))
+            self._ax_bar.set_xticklabels(names, rotation=30, ha="right")
+            self._ax_bar.set_title("running cost per term")
+        else:
+            for b, v in zip(self._bars, totals):
+                b.set_height(v)
+            self._ax_bar.relim()
+            self._ax_bar.autoscale_view()
+        heat = data["grad_heatmap"]
+        norm = heat / (np.max(heat) + 1e-12)
+        if self._im is None:
+            self._im = self._ax_heat.imshow(
+                norm.T, aspect="auto", origin="lower", cmap="viridis")
+            self._ax_heat.set_title("|dL/dx| (normalized)")
+            self._ax_heat.set_xlabel("node")
+            self._ax_heat.set_ylabel("state dim")
+        else:
+            self._im.set_data(norm.T)
+        if self._ax_ee is not None:
+            path = self._dbg.ee_path(xs, self._frame)
+            if self._ee_line is None:
+                (self._ee_line,) = self._ax_ee.plot(path[:, 0], path[:, 2],
+                                                    "o-", ms=2)
+                self._ax_ee.set_title(f"EE prediction path ({self._frame})")
+                self._ax_ee.set_xlabel("x [m]")
+                self._ax_ee.set_ylabel("z [m]")
+            else:
+                self._ee_line.set_data(path[:, 0], path[:, 2])
+                self._ax_ee.relim()
+                self._ax_ee.autoscale_view()
+        if self._interactive:
+            self._plt.pause(0.001)
+        return data
+
+    def render_run(self, state_predictions: np.ndarray,
+                   control_predictions: np.ndarray, out_dir,
+                   every: int = 1) -> list:
+        """Render a recorded run ([K, T+1, nx], [K, T, nu]) frame-by-frame
+        to PNGs; returns the written paths (the offline-animation mode)."""
+        from pathlib import Path
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        paths = []
+        for k in range(0, state_predictions.shape[0], every):
+            self.update(state_predictions[k], control_predictions[k])
+            p = out / f"debug_{k:05d}.png"
+            self._fig.savefig(p, dpi=60)
+            paths.append(p)
+        return paths
+
+    def close(self):
+        self._plt.close(self._fig)

@@ -58,3 +58,52 @@ class MPCRecorder:
     def load(path) -> Dict[str, np.ndarray]:
         with np.load(Path(path)) as f:
             return {k: f[k] for k in f.files}
+
+    # ---- bag container formats (reference rosbag2 analog) ----------------
+
+    def _topics(self):
+        ts = self.time_ns
+        scalar = lambda xs: [(t, np.asarray([v], float))
+                             for t, v in zip(ts, xs)]
+        return {
+            "/ocp_x0": list(zip(ts, self.x0)),
+            "/mpc_debug/state_predictions": list(
+                zip(ts, self.state_predictions)),
+            "/mpc_debug/control_predictions": list(
+                zip(ts, self.control_predictions)),
+            "/mpc_debug/kkt": scalar(self.kkt),
+            "/mpc_debug/iters": scalar(self.iters),
+            "/mpc_debug/qp_iters": scalar(self.qp_iters),
+            "/ocp_solve_time": scalar(self.solve_time_ns),
+        }
+
+    def save_bag(self, path, fmt: str = "mcap") -> None:
+        """Write an mcap or rosbag2-layout sqlite3 bag (the reference
+        records the same streams with rosbag2,
+        `read_from_bag_trajectory.py:57-196`)."""
+        from .bag_readers import write_mcap_bag, write_sqlite_bag
+
+        if fmt == "mcap":
+            write_mcap_bag(path, self._topics())
+        elif fmt in ("sqlite3", "db3"):
+            write_sqlite_bag(path, self._topics())
+        else:
+            raise ValueError(f"unknown bag format {fmt!r}")
+
+    @staticmethod
+    def load_bag(path) -> Dict[str, np.ndarray]:
+        """Container-autodetecting load back into the npz-schema dict."""
+        from .bag_readers import load_bag, load_mpc_outputs_from_bag
+
+        bag = load_bag(path)
+        out = load_mpc_outputs_from_bag(path)
+        x0_recs = bag.get("/ocp_x0", [])
+        t = np.asarray([ts for ts, _ in x0_recs], dtype=np.int64)
+        t0 = t[0] if len(t) else 0
+        out["time"] = (t - t0) / 1e9
+        out["x0"] = (np.stack([a for _, a in x0_recs])
+                     if x0_recs else np.zeros((0, 0)))
+        out["solve_time_ns"] = out["solve_time_ns"].astype(np.int64)
+        out["iters"] = out["iters"].astype(np.int64)
+        out["qp_iters"] = out["qp_iters"].astype(np.int64)
+        return out

@@ -67,9 +67,22 @@ def _total_cost(cf: CostFunctions, T: int, xs, us, refs):
     return jnp.sum(running) + cf.terminal_cost(xs[-1], refs)
 
 
+def _state_ops(cf: CostFunctions):
+    """(difference, integrate) — vector ops unless the cost functions carry
+    Lie-group state semantics (quaternion free-flyer, `ops/lie.py`; the
+    reference's `StateMultibody.diff/integrate`)."""
+    sdiff = cf.state_diff if cf.state_diff is not None else (
+        lambda x1, x0_: x1 - x0_)
+    sint = cf.state_integrate if cf.state_integrate is not None else (
+        lambda x, dx: x + dx)
+    return sdiff, sint
+
+
 def _gaps(cf: CostFunctions, x0, xs, xnexts):
-    f0 = (x0 - xs[0])[None]
-    return jnp.concatenate([f0, xnexts - xs[1:]], axis=0)  # [T+1, nx]
+    sdiff, _ = _state_ops(cf)
+    f0 = sdiff(x0, xs[0])[None]
+    return jnp.concatenate(
+        [f0, jax.vmap(sdiff)(xnexts, xs[1:])], axis=0)  # [T+1, ntan]
 
 
 def _backward(derivs, term, fs, reg):
@@ -110,12 +123,13 @@ def _backward(derivs, term, fs, reg):
 def _forward(cf: CostFunctions, T, x0, xs, us, ks, Ks, fs, alpha, refs):
     """Feasibility-driven rollout at step length alpha: gaps contract by
     (1 - alpha) (Crocoddyl FDDP forwardPass semantics)."""
-    x_init = x0 - (1.0 - alpha) * fs[0]
+    sdiff, sint = _state_ops(cf)
+    x_init = sint(x0, -(1.0 - alpha) * fs[0])
 
     def body(x, inp):
         xref, uref, kk, KK, f_next, t = inp
-        u = uref - alpha * kk - KK @ (x - xref)
-        xn = cf.step(x, u, t, refs) - (1.0 - alpha) * f_next
+        u = uref - alpha * kk - KK @ sdiff(x, xref)
+        xn = sint(cf.step(x, u, t, refs), -(1.0 - alpha) * f_next)
         return xn, (xn, u)
 
     ts = jnp.arange(T)
@@ -169,7 +183,13 @@ def solve_fddp(
             # The FDDP rollout contracts gaps *exactly* to (1-alpha)*fs by
             # construction, so the trial gap norm needs no recomputation.
             gaps_a = (1.0 - alphas) * gap_norm
-            accept = finite & ((reduction > 0.0) | (gaps_a < gap_norm * (1.0 - 1e-6)))
+            # a feasible iterate (gap below tolerance) must not accept on
+            # the infeasibility criterion — (1-a)*gap < gap holds for ANY
+            # step then, which would admit cost-increasing steps
+            # (mim_solvers gates the filter on feasibility the same way)
+            infeasible = gap_norm > 1e-9
+            accept = finite & ((reduction > 0.0) | (
+                infeasible & (gaps_a < gap_norm * (1.0 - 1e-6))))
         else:
             # Goldstein-style acceptance against the expected model
             accept = finite & jnp.where(
@@ -209,8 +229,9 @@ def solve_fddp(
     cost0 = _total_cost(cf, T, xs_init, us_init, refs)
     reg0 = jnp.asarray(settings.reg_init, dtype)
     kkt0 = jnp.asarray(jnp.inf, dtype)
+    ntan = cf.ntan if cf.ntan is not None else xs_init.shape[1]
     ks0 = jnp.zeros((T, us_init.shape[1]), dtype)
-    Ks0 = jnp.zeros((T, us_init.shape[1], xs_init.shape[1]), dtype)
+    Ks0 = jnp.zeros((T, us_init.shape[1], ntan), dtype)
     init = (
         xs_init, us_init, cost0, reg0, kkt0, jnp.asarray(False), jnp.asarray(0),
         ks0, Ks0,

@@ -259,10 +259,14 @@ def make_batch_fddp(
             def accept_of(alpha, cost_a, finite):
                 reduction = cost - cost_a  # [B]
                 if settings.use_filter_line_search:
+                    # feasibility-gated filter (see fddp.py): a feasible
+                    # scenario accepts on cost decrease only — otherwise
+                    # (1-a)*gap < gap admits cost-increasing steps
                     gaps_a = (1.0 - alpha) * gap_norm
+                    infeasible = gap_norm > 1e-9
                     return finite & (
                         (reduction > 0.0)
-                        | (gaps_a < gap_norm * (1.0 - 1e-6)))
+                        | (infeasible & (gaps_a < gap_norm * (1.0 - 1e-6))))
                 expected = alpha * d1 - 0.5 * (alpha**2) * d2
                 return finite & jnp.where(
                     expected > 0.0,

@@ -165,8 +165,11 @@ def solve_fddp_tsharded(cf, x0, refs, xs_init, us_init, settings, mesh: Mesh,
         ) & jnp.all(jnp.isfinite(xs_a.reshape(settings.n_alphas, -1)), axis=-1)
         reduction = cost - cost_a
         gaps_a = (1.0 - alphas) * gap_norm
+        # feasibility-gated filter (see fddp.py): a feasible iterate accepts
+        # on cost decrease only
+        infeasible = gap_norm > 1e-9
         accept = finite & ((reduction > 0.0)
-                           | (gaps_a < gap_norm * (1.0 - 1e-6)))
+                           | (infeasible & (gaps_a < gap_norm * (1.0 - 1e-6))))
         any_accept = jnp.any(accept)
         best = jnp.argmax(accept)
         step_ok = any_accept & ~diverged

@@ -275,10 +275,15 @@ def main():
     for xv in x0_variants:
         t0 = time.perf_counter()
         sol = run(xv)
-        sol.cost.block_until_ready()
+        # host read, not block_until_ready: through the device tunnel ready
+        # events can fire at enqueue and under-measure by orders of
+        # magnitude; a value read cannot complete before the computation
+        float(np.asarray(sol.cost[0]))
         times.append(time.perf_counter() - t0)
     t_batch = float(np.median(times))
     solves_per_s = BATCH / t_batch
+    assert t_batch > 0.01, (
+        f"implausible batch time {t_batch:.6f}s — device sync failed")
 
     assert bool(jnp.all(jnp.isfinite(sol.us))), "non-finite solver output"
     print(

@@ -1,0 +1,208 @@
+"""Quaternion Lie-group free-flyer state: singularity-free base rotation.
+
+VERDICT r2 #4 / PARITY "known gaps": the 6-DoF euler chart is singular at
+pitch = ±pi/2; the reference's `StateMultibody` free-flyer (quaternion,
+Lie-group integrate/difference) is not.  `ops/lie.py` provides the global
+quaternion state with chart re-centering; these tests pin:
+
+- integrate/difference inverse round trips AT pitch = ±pi/2,
+- physics of `ff_step` (CoM free fall, equivalence with the chart step at
+  identity base where the two parameterizations coincide),
+- a goal-reaching solve from a pitch = +pi/2 base orientation (where the
+  euler-chart state would be singular), and on the free-flyer Tiago-Pro.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agimus_controller_tpu.models.panda import PANDA_Q_READY, load_panda
+from agimus_controller_tpu.ops import lie
+from agimus_controller_tpu.ops.integrator import euler_step
+
+
+def _quat_pitch(theta, dtype=jnp.float64):
+    # rotation about world y by theta: quat [x, y, z, w]
+    return jnp.asarray(
+        [0.0, np.sin(theta / 2), 0.0, np.cos(theta / 2)], dtype)
+
+
+def _rand_state(model, rng, quat=None, dtype=jnp.float64):
+    n = model.nj - lie.N_FF
+    p = jnp.asarray(rng.normal(size=3), dtype)
+    if quat is None:
+        q4 = rng.normal(size=4)
+        quat = jnp.asarray(q4 / np.linalg.norm(q4), dtype)
+    qj = jnp.asarray(rng.normal(size=n) * 0.5, dtype)
+    v = jnp.asarray(rng.normal(size=model.nj) * 0.3, dtype)
+    return lie.join_state(p, quat, qj, v)
+
+
+def test_integrate_difference_roundtrip_at_singular_pitch():
+    model, params = load_panda(dtype=np.float64, free_flyer=True)
+    sint = lie.state_integrate(model)
+    sdiff = lie.state_difference(model)
+    rng = np.random.default_rng(0)
+    for theta in (np.pi / 2, -np.pi / 2, 0.3, np.pi * 0.95):
+        x0 = _rand_state(model, rng, quat=_quat_pitch(theta))
+        # integrate a random tangent, difference must return it
+        dx = jnp.asarray(rng.normal(size=2 * model.nj) * 0.2)
+        x1 = sint(x0, dx)
+        dx_rec = sdiff(x1, x0)
+        np.testing.assert_allclose(np.asarray(dx_rec), np.asarray(dx),
+                                   atol=1e-10)
+        # difference of two random states, then integrate back
+        x2 = _rand_state(model, rng)
+        d = sdiff(x2, x0)
+        x2_rec = sint(x0, d)
+        # configurations match up to quaternion sign; compare rotations
+        p2, q2, qj2, v2 = lie.split_state(model, x2)
+        p2r, q2r, qj2r, v2r = lie.split_state(model, x2_rec)
+        np.testing.assert_allclose(np.asarray(p2r), np.asarray(p2),
+                                   atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(lie.quat_to_matrix(q2r)),
+            np.asarray(lie.quat_to_matrix(q2)), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(qj2r), np.asarray(qj2),
+                                   atol=1e-10)
+
+
+def test_ff_step_matches_chart_at_identity_base():
+    # at identity base pose the re-centered chart IS the chart model, and
+    # chart rates coincide with the body twist: one step must agree exactly
+    model, params = load_panda(dtype=np.float64, free_flyer=True)
+    n = model.nj - lie.N_FF
+    rng = np.random.default_rng(1)
+    qj = jnp.asarray(rng.normal(size=n) * 0.4)
+    v = jnp.asarray(rng.normal(size=model.nj) * 0.3)
+    u = jnp.asarray(rng.normal(size=model.nj) * 2.0)
+    dt = 1e-3
+    x_ff = lie.join_state(jnp.zeros(3), jnp.asarray([0., 0., 0., 1.]), qj, v)
+    x_chart = jnp.concatenate([jnp.zeros(lie.N_FF), qj, v])
+    xn_ff = lie.ff_step(model, params, x_ff, u, dt)
+    xn_ch = euler_step(model, params, x_chart, u, dt)
+    p, quat, qjn, vn = lie.split_state(model, xn_ff)
+    # chart coords of the chart step -> base placement
+    ch_q = np.asarray(xn_ch[:model.nj])
+    np.testing.assert_allclose(np.asarray(vn), np.asarray(xn_ch[model.nj:]),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qjn), ch_q[lie.N_FF:], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p), ch_q[:3], atol=1e-12)
+    R_ff = np.asarray(lie.quat_to_matrix(quat))
+    from agimus_controller_tpu.ops.lie import _euler_zyx_to_matrix
+
+    R_ch = np.asarray(_euler_zyx_to_matrix(jnp.asarray(ch_q[3:6])))
+    np.testing.assert_allclose(R_ff, R_ch, atol=1e-12)
+
+
+def test_ff_step_free_fall_com_parabola():
+    # zero torque, no contact: the CoM must fall at g regardless of base
+    # orientation — run it AT the euler-singular pitch
+    model, params = load_panda(dtype=np.float64, free_flyer=True)
+    n = model.nj - lie.N_FF
+    x = lie.join_state(
+        jnp.zeros(3), _quat_pitch(np.pi / 2),
+        jnp.asarray(PANDA_Q_READY, jnp.float64), jnp.zeros(model.nj))
+    dt = 1e-3
+    steps = 100
+    u = jnp.zeros(model.nj)
+    step = jax.jit(lambda x: lie.ff_step(model, params, x, u, dt))
+    from agimus_controller_tpu.ops import kinematics
+
+    def com_height(x):
+        p, quat, qj, _ = lie.split_state(model, x)
+        pr = lie.recenter_params(model, params, p, quat)
+        q_c = lie.chart_q(model, qj)
+        Rs, ps = kinematics.joint_placements(model, pr, q_c)
+        m = np.asarray(params.mass)
+        tot, z = 0.0, 0.0
+        for i in range(model.nj):
+            c = np.asarray(Rs[i] @ jnp.asarray(params.com[i]) + ps[i])
+            z += m[i] * c[2]
+            tot += m[i]
+        return z / tot
+
+    z0 = com_height(x)
+    for _ in range(steps):
+        x = step(x)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    t = steps * dt
+    # semi-implicit Euler free fall: z(t) = z0 - g/2 t(t+dt)
+    z_expect = z0 - 0.5 * 9.81 * t * (t + dt)
+    np.testing.assert_allclose(com_height(x), z_expect, atol=2e-5)
+
+
+def _solve_goal(model, params, x0, frame, goal_shift, T=30, iters=60):
+    from agimus_controller_tpu.ocp.ff_costs import build_ff_cost_functions
+    from agimus_controller_tpu.ocp.spec import CostItem, ProblemSpec
+    from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
+
+    dtype = jnp.float64
+    nv = model.nj
+    ntan = 2 * nv
+    spec = ProblemSpec(
+        running_costs=(
+            CostItem(name="state_reg", kind="state", weight=0.05,
+                     update=True),
+            CostItem(name="ctrl", kind="control", weight=1e-4, update=True),
+        ),
+        terminal_costs=(
+            CostItem(name="goal", kind="frame_placement", weight=100.0,
+                     update=True, frame=frame),
+        ),
+        horizon=T, dt=0.02,
+    )
+    cf = build_ff_cost_functions(model, params, spec, dtype=dtype)
+    fid = model.frame_id(frame)
+    R0, p0 = lie.ff_frame_placement(model, params, x0, fid)
+    goal_p = p0 + jnp.asarray(goal_shift, dtype)
+    refs = {
+        "xref": jnp.tile(x0[None], (T + 1, 1)),
+        "w_x": jnp.tile(jnp.concatenate(
+            [jnp.full(nv, 0.1), jnp.full(nv, 1.0)])[None].astype(dtype),
+            (T + 1, 1)),
+        "w_u": jnp.ones((T + 1, nv), dtype),
+        "uref": jnp.zeros((T + 1, nv), dtype),
+        f"ee_rot:{frame}": jnp.tile(R0[None], (T + 1, 1, 1)),
+        f"ee_trans:{frame}": jnp.tile(goal_p[None], (T + 1, 1)),
+        f"w_ee:{frame}": jnp.ones((T + 1, 6), dtype),
+    }
+    xs0 = jnp.tile(x0[None], (T + 1, 1))
+    us0 = jnp.zeros((T, nv), dtype)
+    st = SolverSettings(max_iters=iters, termination_tolerance=1e-6)
+    sol = solve_fddp(cf, x0, refs, xs0, us0, st)
+    _, p_end = lie.ff_frame_placement(model, params, sol.xs[-1], fid)
+    return sol, float(jnp.linalg.norm(p_end - goal_p))
+
+
+def test_goal_solve_from_singular_pitch():
+    # base oriented at pitch = +pi/2 — exactly where the euler-chart state
+    # breaks down; the quaternion state solves a goal-reaching OCP fine
+    model, params = load_panda(dtype=np.float64, free_flyer=True)
+    x0 = lie.join_state(
+        jnp.zeros(3), _quat_pitch(np.pi / 2),
+        jnp.asarray(PANDA_Q_READY, jnp.float64), jnp.zeros(model.nj))
+    sol, err = _solve_goal(model, params, x0, "panda_hand_tcp",
+                           [0.05, 0.03, -0.04])
+    assert bool(jnp.all(jnp.isfinite(sol.us)))
+    assert err < 0.02, f"terminal EE error {err}"
+
+
+@pytest.mark.slow
+def test_goal_solve_freeflyer_tiago():
+    from agimus_controller_tpu.models.tiago_pro import load_tiago_pro
+
+    model, params = load_tiago_pro(dtype=np.float64, free_flyer=True)
+    n = model.nj - lie.N_FF
+    x0 = lie.join_state(
+        jnp.zeros(3), _quat_pitch(0.4), jnp.zeros(n), jnp.zeros(model.nj))
+    frame = model.frames[model.frame_id("arm_left_tool")].name if any(
+        f.name == "arm_left_tool" for f in model.frames) else None
+    if frame is None:
+        # fall back to any end-effector-ish frame
+        frame = model.frames[-1].name
+    sol, err = _solve_goal(model, params, x0, frame, [0.05, 0.0, 0.05],
+                           T=20, iters=40)
+    assert bool(jnp.all(jnp.isfinite(sol.us)))
+    assert err < 0.05, f"terminal EE error {err}"
