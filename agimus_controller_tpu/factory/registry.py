@@ -45,13 +45,13 @@ def _goal_reaching(model, params, ocp_params: OCPParams, *, ee_frame,
 
 @register_ocp("yaml")
 def _yaml(model, params, ocp_params: OCPParams, *, yaml_file, ee_frame=None,
-          dtype=jnp.float32, **kw):
+          dtype=jnp.float32, ring=None, **kw):
     spec = load_ocp_spec(
         yaml_file, model, horizon=ocp_params.horizon_size, dt=ocp_params.dt,
         dt_factor_n_seq=tuple(ocp_params.dt_factor_n_seq),
         default_ee_frame=ee_frame,
     )
-    return OCPJax(model, params, spec, ocp_params, dtype=dtype)
+    return OCPJax(model, params, spec, ocp_params, dtype=dtype, ring=ring)
 
 
 @register_ocp("goal_reaching_yaml")

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..models.model import RobotModel
 from ..ocp.spec import ProblemSpec
-from .buffer import DTFactorsNSeq, WeightedTrajectoryPoint
+from .buffer import DTFactorsNSeq, TrajectoryBuffer, WeightedTrajectoryPoint
 
 
 @dataclasses.dataclass(frozen=True)
@@ -255,6 +255,34 @@ class RefRing:
         if self._write > self._read:
             self._read += 1
 
+    def clear(self):
+        """Drop everything (checkpoint restore). Device rows are rewritten
+        before they can be gathered again (synced resets with write)."""
+        self._read = self._write = self._synced = 0
+
+    def pop_newest(self):
+        """Drop the most recent row (mirror of `TrajectoryBuffer.pop(-1)`)."""
+        if self._write == self._read:
+            raise IndexError("pop from empty ring")
+        self._write -= 1
+        self._synced = min(self._synced, self._write)
+
+    def set_row(self, index: int, wp: WeightedTrajectoryPoint):
+        """Overwrite row at buffer-relative ``index``; marks the suffix dirty
+        so the next sync() re-ships it (sync ships a contiguous range)."""
+        counter = self._read + index
+        if not self._read <= counter < self._write:
+            raise IndexError(index)
+        self.layout.pack_point(wp, out=self._host[counter
+                                                  & (self.capacity - 1)])
+        self._synced = min(self._synced, counter)
+
+    def host_horizon_rows(self) -> np.ndarray:
+        """Host copy of the current horizon rows [T+1, width] (staleness
+        checks / delay-compensation refs — no device round trip)."""
+        slots = (self._read + self._hidx) & (self.capacity - 1)
+        return self._host[slots]
+
     def sync(self) -> jnp.ndarray:
         """Ship rows written since the last sync; returns the device ring."""
         n_new = self._write - self._synced
@@ -280,3 +308,47 @@ def gather_horizon_rows(ring_arr, read_slot, hidx, cap_mask):
     """Device-side horizon gather: rows at (read + offsets) mod capacity."""
     slots = (read_slot + jnp.asarray(hidx)) & cap_mask
     return jnp.take(ring_arr, slots, axis=0)
+
+
+class PackedTrajectoryBuffer(TrajectoryBuffer):
+    """TrajectoryBuffer that mirrors every mutation into a `RefRing`.
+
+    The Python-side buffer keeps serving the warm-start / bookkeeping path
+    (cheap list indexing); the ring carries the SAME points as packed numeric
+    rows so the per-tick reference update is one scatter + an on-device
+    gather inside the jitted solve (the O(1) analog of the reference's
+    rolling-buffer mode, `ocp_croco_generic.py:865-881`). Both heads advance
+    together, so the refs the solver sees cannot diverge from the points the
+    warm start saw.
+    """
+
+    def __init__(self, dt_factor_n_seq: DTFactorsNSeq, layout: RowLayout,
+                 min_capacity: int = 4096, dtype=jnp.float32):
+        super().__init__(dt_factor_n_seq, min_capacity)
+        self.ring = RefRing(layout, self.dt_factor_n_seq,
+                            capacity=self._cap, dtype=dtype)
+        assert self.ring.capacity == self._cap
+
+    def append(self, item: WeightedTrajectoryPoint):
+        super().append(item)
+        self.ring.append(item)
+
+    def clear(self):
+        super().clear()
+        self.ring.clear()
+
+    def clear_past(self):
+        super().clear_past()
+        self.ring.clear_past()
+
+    def pop(self, index: int = -1):
+        if index in (0,):
+            return super().pop(0)  # routes through clear_past (mirrored)
+        item = super().pop(index)  # only end pops are legal
+        self.ring.pop_newest()
+        return item
+
+    def __setitem__(self, index: int, value: WeightedTrajectoryPoint):
+        super().__setitem__(index, value)
+        n = len(self)
+        self.ring.set_row(index if index >= 0 else index + n, value)

@@ -424,7 +424,15 @@ def make_batch_sqp(
         return took, xs_b, us_b, cost_b
 
     # ------------------------------------------------------------------
-    def solve(x0s, refs, xs_in, us_in) -> BatchSQPSolution:
+    def solve(x0s, refs, xs_in, us_in, max_iters=None) -> BatchSQPSolution:
+        """``max_iters``: optional RUNTIME iteration limit (int or scalar
+        array). Lets one compiled program serve the reference's unlimited
+        first solve, the per-tick budget, and the `max_solve_time` cap
+        (`ocp_base_croco.py:160-171`) without recompiling. Defaults to the
+        static ``settings.max_iters``; with ``trace=True`` the telemetry
+        buffers stay sized by the static value (iterations past it drop)."""
+        limit = jnp.asarray(
+            settings.max_iters if max_iters is None else max_iters, jnp.int32)
         xs = jnp.swapaxes(xs_in, 0, 1)  # [T+1, B, nx] time-major
         us = jnp.swapaxes(us_in, 0, 1)
         B = xs.shape[1]
@@ -601,7 +609,7 @@ def make_batch_sqp(
             # iteration budget (mim_solvers `max_iters` is per solve; without
             # the cap here one diverging scenario would spin the while_loop
             # unboundedly once any other scenario's `iters` froze early)
-            live = ~converged & (iters < settings.max_iters)
+            live = ~converged & (iters < limit)
             # KKT is measured at the CURRENT iterate: when it already meets
             # the tolerance, return this iterate — applying one more step
             # would hand back an unverified point (observed: the collision
@@ -672,7 +680,7 @@ def make_batch_sqp(
             converged = carry[4]
             iters = carry[5]
             # run while any scenario is live (per-scenario budget)
-            return ~jnp.all(converged | (iters >= settings.max_iters))
+            return ~jnp.all(converged | (iters >= limit))
 
         out = jax.lax.while_loop(loop_cond, iteration, init)
         (xs, us, cost, kkt, converged, iters, qp_total, ks, Ks, _reg,

@@ -1,0 +1,273 @@
+"""The production tick data path: batch-SQP solver + device refs ring IN the
+control loop (round-3 VERDICT #1).
+
+Reference behaviors matched:
+- the per-tick solver is the runtime solver, not a bench-only path
+  (`ocp_base_croco.py:64-80` wires `mim_solvers.SolverCSQP` into the loop);
+- O(1) per-tick reference update — the rolling-buffer mode
+  (`ocp_croco_generic.py:865-881`): here each streamed point is packed into a
+  flat row ONCE on append (`PackedTrajectoryBuffer`), the horizon is gathered
+  from the device-resident ring INSIDE the jitted solve;
+- first solve with unlimited budget / budget-capped run solves share ONE
+  compiled program (the iteration limit is a runtime argument).
+
+Uses a 2-DoF planar arm so the XLA:CPU compile stays in the default-tier
+budget; Panda-scale coverage of the same path is in the slow tier
+(`test_sqp_batch.py`) and on-chip in `bench.py` (BENCH_MODE=runtime).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agimus_controller_tpu.models.urdf import build_model_from_urdf
+from agimus_controller_tpu.mpc.buffer import (
+    DTFactorsNSeq,
+    TrajectoryPoint,
+    TrajectoryPointWeights,
+    WeightedTrajectoryPoint,
+)
+from agimus_controller_tpu.mpc.mpc import MPC
+from agimus_controller_tpu.mpc.ocp_base import OCPJax, OCPParams
+from agimus_controller_tpu.mpc.ring import PackedTrajectoryBuffer, RowLayout
+from agimus_controller_tpu.mpc.warm_start import (
+    WarmStartReference,
+    WarmStartShiftPreviousSolution,
+)
+from agimus_controller_tpu.ocp.spec import CostItem, ProblemSpec
+from agimus_controller_tpu.ops import dynamics, kinematics
+from agimus_controller_tpu.runtime.controller import (
+    ControllerRuntime,
+    RuntimeParams,
+    Sensor,
+)
+
+URDF_2DOF = """<?xml version="1.0"?>
+<robot name="planar2">
+  <link name="base"><inertial><mass value="1"/>
+    <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/></inertial></link>
+  <joint name="j1" type="revolute"><parent link="base"/><child link="l1"/>
+    <origin xyz="0 0 0.1" rpy="0 0 0"/><axis xyz="0 1 0"/>
+    <limit effort="50" lower="-3" upper="3" velocity="3"/></joint>
+  <link name="l1"><inertial><origin xyz="0 0 0.15"/><mass value="1.5"/>
+    <inertia ixx="0.02" iyy="0.02" izz="0.005" ixy="0" ixz="0" iyz="0"/></inertial></link>
+  <joint name="j2" type="revolute"><parent link="l1"/><child link="l2"/>
+    <origin xyz="0 0 0.3" rpy="0 0 0"/><axis xyz="0 1 0"/>
+    <limit effort="50" lower="-3" upper="3" velocity="3"/></joint>
+  <link name="l2"><inertial><origin xyz="0 0 0.12"/><mass value="0.8"/>
+    <inertia ixx="0.01" iyy="0.01" izz="0.003" ixy="0" ixz="0" iyz="0"/></inertial></link>
+  <joint name="jt" type="fixed"><parent link="l2"/><child link="tip"/>
+    <origin xyz="0 0 0.25"/></joint>
+  <link name="tip"/>
+</robot>"""
+
+T = 8
+DT = 0.02
+Q0 = np.array([0.4, -0.8])
+
+
+def _spec():
+    return ProblemSpec(
+        running_costs=(
+            CostItem(name="state_reg", kind="state", weight=0.1, update=True),
+            CostItem(name="ctrl", kind="control_grav", weight=1e-3),
+            CostItem(name="goal", kind="frame_placement", weight=10.0,
+                     update=True, frame="tip"),
+        ),
+        terminal_costs=(
+            CostItem(name="state_reg", kind="state", weight=0.1, update=True),
+            CostItem(name="goal", kind="frame_placement", weight=50.0,
+                     update=True, frame="tip"),
+        ),
+        horizon=T, dt=DT,
+    )
+
+
+@pytest.fixture(scope="module")
+def arm():
+    model, params = build_model_from_urdf(
+        URDF_2DOF, armature=np.array([0.1, 0.1]), dtype=np.float64)
+    spec = _spec()
+    R0, p0 = (np.asarray(a) for a in kinematics.frame_placement(
+        model, params, jnp.asarray(Q0), model.frame_id("tip")))
+    tau_g = np.asarray(dynamics.rnea(
+        model, params, jnp.asarray(Q0), jnp.zeros(2), jnp.zeros(2)))
+    return model, params, spec, (R0, p0), tau_g
+
+
+def _mk_point(i, arm, goal_offset=(0.02, 0.0, -0.03)):
+    model, params, spec, (R0, p0), tau_g = arm
+    pt = TrajectoryPoint(
+        id=i, time_ns=int(i * DT * 1e9),
+        robot_configuration=Q0.copy(), robot_velocity=np.zeros(2),
+        robot_acceleration=np.zeros(2), robot_effort=tau_g.copy(),
+        end_effector_poses={"tip": (R0, p0 + np.asarray(goal_offset))},
+    )
+    w = TrajectoryPointWeights(
+        w_robot_configuration=np.full(2, 0.5),
+        w_robot_velocity=np.full(2, 1.0),
+        w_robot_effort=np.ones(2),
+        w_end_effector_poses={"tip": np.ones(6)},
+    )
+    return WeightedTrajectoryPoint(point=pt, weights=w)
+
+
+def test_packed_buffer_mirrors_ring(arm):
+    """Every buffer mutation lands identically in the ring's host rows."""
+    model, params, spec, _, _ = arm
+    layout = RowLayout(spec, model)
+    buf = PackedTrajectoryBuffer(
+        DTFactorsNSeq(factors=[1], n_steps=[T]), layout, dtype=jnp.float64)
+    pts = [_mk_point(i, arm, goal_offset=(0.01 * i, 0.0, 0.0))
+           for i in range(2 * T)]
+    for p in pts:
+        buf.append(p)
+    # horizon rows == packing the horizon points directly
+    expect = np.stack([layout.pack_point(wp) for wp in buf.horizon])
+    np.testing.assert_allclose(buf.ring.host_horizon_rows(), expect)
+    # head consumption advances both
+    buf.clear_past()
+    expect = np.stack([layout.pack_point(wp) for wp in buf.horizon])
+    np.testing.assert_allclose(buf.ring.host_horizon_rows(), expect)
+    # in-place overwrite re-packs (and re-ships) the row
+    repl = _mk_point(999, arm, goal_offset=(0.0, 0.05, 0.0))
+    buf[0] = repl
+    np.testing.assert_allclose(
+        buf.ring.host_horizon_rows()[0], layout.pack_point(repl))
+    # end pop mirrors
+    n = len(buf)
+    buf.pop(-1)
+    assert len(buf) == n - 1 and len(buf.ring) == n - 1
+    # device gather sees the same rows as the host view
+    ring_arr, slot = buf.ring.device_state()
+    hidx, mask = buf.ring.gather_spec()
+    from agimus_controller_tpu.mpc.ring import gather_horizon_rows
+
+    dev_rows = np.asarray(gather_horizon_rows(ring_arr, slot, hidx, mask))
+    np.testing.assert_allclose(dev_rows, buf.ring.host_horizon_rows())
+
+
+@pytest.fixture(scope="module")
+def loop(arm):
+    """One compiled ring-fed sqp OCP + runtime (module-shared: one compile)."""
+    model, params, spec, _, _ = arm
+    layout = RowLayout(spec, model)
+    buf = PackedTrajectoryBuffer(
+        DTFactorsNSeq(factors=[1], n_steps=[T]), layout, dtype=jnp.float64)
+    ocp = OCPJax(
+        model, params, spec,
+        OCPParams(dt=DT, horizon_size=T, solver_iters=10, solver="sqp",
+                  max_solve_time=10.0,
+                  # the lightweight 2-DoF arm's Qu scale sits below the
+                  # reference's 1e-3 default; tighten so the solver iterates
+                  termination_tolerance=1e-6),
+        dtype=jnp.float64, ring=buf.ring)
+    ws_shift = WarmStartShiftPreviousSolution()
+    ws_shift.setup(model, params, spec.timesteps())
+    ws_ref = WarmStartReference()
+    ws_ref.setup(model, params)
+    mpc = MPC()
+    mpc.setup(ocp, ws_shift, buf)
+    rt = ControllerRuntime(mpc, buf, ws_ref, RuntimeParams())
+    return rt, buf, ocp, mpc
+
+
+def test_closed_loop_sqp_ring(arm, loop):
+    """Full lifecycle on the production path: init gate -> unlimited first
+    solve -> budget calibration -> warm ticks, refs via the device ring."""
+    model, params, spec, (R0, p0), tau_g = arm
+    rt, buf, ocp, mpc = loop
+    rt.set_sensor(Sensor(time_ns=0, position=Q0.copy(), velocity=np.zeros(2)))
+    assert rt.step() is None  # empty buffer: init gate holds
+
+    n_fill = 3 * T
+    for i in range(n_fill):
+        rt.append_reference(_mk_point(i, arm))
+    ctrl = rt.step(now_ns=0)
+    assert rt.initialized and ctrl is not None
+    assert ocp.budget_iters is not None  # budget calibrated on init
+
+    controls = [ctrl]
+    for k in range(12):
+        rt.append_reference(_mk_point(n_fill + k, arm))
+        rt.set_sensor(Sensor(time_ns=int((k + 1) * DT * 1e9),
+                             position=Q0.copy(), velocity=np.zeros(2)))
+        ctrl = rt.step()
+        assert ctrl is not None
+        controls.append(ctrl)
+    assert all(np.all(np.isfinite(c.feedforward)) for c in controls)
+    assert rt.last_problem_solved
+    assert mpc.mpc_debug_data.ocp.kkt_norm < 1e-5
+
+    # physics: the predicted terminal EE must reach the streamed goal
+    xT = ocp.ocp_results.states[-1]
+    _, pT = kinematics.frame_placement(
+        model, params, jnp.asarray(xT[:2]), model.frame_id("tip"))
+    goal = p0 + np.asarray([0.02, 0.0, -0.03])
+    assert np.linalg.norm(np.asarray(pT) - goal) < 0.03
+
+    # id coherence: a horizon that disagrees with the ring head is rejected
+    bogus = [_mk_point(5000 + i, arm) for i in range(T + 1)]
+    with pytest.raises(AssertionError, match="desync"):
+        ocp.set_reference_weighted_trajectory(bogus)
+
+
+def test_fused_tick_matches_runtime_path(arm, loop):
+    """The single-dispatch fused tick (device-resident shift + ring gather +
+    solve, `mpc/tick.py`) must produce the SAME control as the step-by-step
+    ControllerRuntime path from the same previous solution and stream."""
+    from agimus_controller_tpu.mpc.tick import FusedTickRunner
+    from agimus_controller_tpu.solver.csqp import CSQPSettings
+
+    model, params, spec, _, _ = arm
+    rt, buf, ocp, mpc = loop
+    assert rt.initialized
+    prev = mpc._warm_start._previous_solution
+    x0 = np.concatenate([Q0, np.zeros(2)])
+
+    fused = FusedTickRunner(
+        model, params, spec, ocp._cf, buf.ring, ocp._refs,
+        CSQPSettings(max_iters=10, max_qp_iters=200,
+                     termination_tolerance=1e-6, reg_init=1e-7),
+        dtype=jnp.float64)
+    # seed the device carry with the runtime's previous solution, run one
+    # fused tick WITHOUT consuming the head (the runtime tick will)
+    fused._xs = jnp.asarray(prev.states, jnp.float64)
+    fused._us = jnp.asarray(prev.feed_forward_terms, jnp.float64)
+    out = fused._run(x0, fused._xs, fused._us, limit=10)
+    K0_f, u0_f, kkt_f, iters_f, conv_f = fused.fetch(out)
+
+    rt.append_reference(_mk_point(10_000, arm))
+    rt.set_sensor(Sensor(time_ns=10**9, position=Q0.copy(),
+                         velocity=np.zeros(2)))
+    ctrl = rt.step()
+    np.testing.assert_allclose(u0_f, ctrl.feedforward, rtol=0, atol=1e-10)
+    np.testing.assert_allclose(K0_f, ctrl.feedback_gain, rtol=0, atol=1e-10)
+    assert conv_f == rt.last_problem_solved
+    assert abs(kkt_f - mpc.mpc_debug_data.ocp.kkt_norm) < 1e-9
+
+
+def test_ring_matches_host_packed_path(arm, loop):
+    """The ring-gathered refs produce the SAME solution as host packing
+    (the two lanes share RowLayout, so divergence = a gather/sync bug)."""
+    model, params, spec, _, tau_g = arm
+    rt, buf, ocp, mpc = loop
+    assert rt.initialized  # runs after the closed-loop test
+    horizon = buf.horizon
+    x0 = np.concatenate([Q0, np.zeros(2)])
+    xs = [x0.copy() for _ in range(T + 1)]
+    us = [tau_g.copy() for _ in range(T)]
+    res_ring = ocp.solve(x0, xs, us)
+
+    ocp_host = OCPJax(
+        model, params, spec,
+        OCPParams(dt=DT, horizon_size=T, solver_iters=10, solver="sqp",
+                  termination_tolerance=1e-6),
+        dtype=jnp.float64)
+    ocp_host.set_reference_weighted_trajectory(horizon)
+    res_host = ocp_host.solve(x0, xs, us)
+    np.testing.assert_allclose(
+        res_ring.feed_forward_terms, res_host.feed_forward_terms,
+        rtol=0, atol=1e-10)
+    np.testing.assert_allclose(
+        res_ring.states, res_host.states, rtol=0, atol=1e-10)
