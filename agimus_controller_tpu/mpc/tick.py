@@ -151,6 +151,9 @@ class FusedTickRunner:
         # ship any newly appended rows (no-op when pre-staged); the read
         # slot stays ON DEVICE across ticks so a steady-state tick uploads
         # nothing but x0 (and x0 may itself be a device array)
+        if self._slot is None:
+            self._slot = jnp.asarray(
+                self._ring.device_state()[1], jnp.int32)
         ring_arr = self._ring.sync()
         out = self._tick(
             ring_arr, self._slot, self._refs,

@@ -132,6 +132,12 @@ class NativeFDDP(NativeRBD):
               goal_rot: np.ndarray, goal_trans: np.ndarray, x0: np.ndarray,
               max_iters: int = 200, tol: float = 1e-9):
         nx, nu = 2 * self.nj, self.nj
+        # the C side uses static workspaces hard-sized for these bounds
+        # (and also rejects with rc=-2); validate early with a clear error
+        if not (1 <= T <= 4096):
+            raise ValueError(f"oracle supports 1 <= T <= 4096, got {T}")
+        if self.nj > 16:
+            raise ValueError(f"oracle supports nj <= 16, got {self.nj}")
         c = lambda a: np.ascontiguousarray(a, dtype=np.float64).reshape(-1)
         xs = np.zeros((T + 1) * nx)
         us = np.zeros(T * nu)

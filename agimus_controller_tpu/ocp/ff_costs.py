@@ -10,8 +10,16 @@ while configurations stay on the manifold (unit quaternion, no euler
 singularity).
 
 Supported cost kinds: "state" (tangent-space regularization), "control",
-"frame_placement".  Refs keys: `xref [T+1, nq+nv]`, `w_x [T+1, ntan]`,
-`w_u [T+1, nu]`, `ee_rot:/ee_trans:/w_ee:<frame>` as in `ocp/costs.py`.
+"control_grav", "frame_placement", "frame_translation", "frame_rotation",
+"frame_velocity", "collision_distance".  Constraints: "control_limit",
+"collision_distance" (box semantics of `ocp/costs.py`).  Refs keys:
+`xref [T+1, nq+nv]`, `w_x [T+1, ntan]`, `w_u [T+1, nu]`, `w_coll [T+1]`,
+`ee_rot:/ee_trans:/w_ee:/ee_vel:/w_ee_vel:<frame>` as in `ocp/costs.py`.
+
+Actuation (`actuation=`): "floating_base" (default) matches the reference's
+`ActuationModelFloatingBase` — nu = nv - 6, the base is unactuated and the
+control maps to [0_6; u] (ADVICE r03: full actuation solved for physically
+unavailable base wrenches); "full" actuates all nv DoFs.
 """
 
 from __future__ import annotations
@@ -20,31 +28,65 @@ import jax
 import jax.numpy as jnp
 
 from ..models.model import ModelParams, RobotModel
-from ..ops import lie, spatial
+from ..ops import dynamics as dyn
+from ..ops import kinematics, lie, residuals, spatial
 from .costs import CostFunctions, StageDerivs, TerminalDerivs
 from .spec import ProblemSpec, make_timesteps
+
+FF_COST_KINDS = (
+    "state", "control", "control_grav", "frame_placement",
+    "frame_translation", "frame_rotation", "frame_velocity",
+    "collision_distance",
+)
+FF_CONSTRAINT_KINDS = ("control_limit", "collision_distance")
 
 
 def build_ff_cost_functions(
     model: RobotModel, params: ModelParams, spec: ProblemSpec,
-    dtype=jnp.float32,
+    dtype=jnp.float32, actuation: str = "floating_base",
 ) -> CostFunctions:
     for item in spec.all_costs():
-        if item.kind not in ("state", "control", "frame_placement"):
+        if item.kind not in FF_COST_KINDS:
             raise NotImplementedError(
                 f"free-flyer cost kind {item.kind!r} not supported yet")
+    for c in spec.constraints:
+        if c.kind not in FF_CONSTRAINT_KINDS:
+            raise NotImplementedError(
+                f"free-flyer constraint kind {c.kind!r} not supported yet")
+    if actuation not in ("floating_base", "full"):
+        raise ValueError(actuation)
     timesteps = make_timesteps(spec, dtype)
     nv = model.nj
     ntan = 2 * nv
-    nu = nv
+    under = actuation == "floating_base"
+    nu = nv - lie.N_FF if under else nv
     sdiff = lie.state_difference(model)
     sint = lie.state_integrate(model)
 
+    def tau_full(u):
+        """Actuation map: the floating base takes no direct wrench
+        (reference `ActuationModelFloatingBase`: nu = nv - 6)."""
+        if under:
+            return jnp.concatenate([jnp.zeros((lie.N_FF,), u.dtype), u])
+        return u
+
     def step(x, u, t, refs):
-        return lie.ff_step(model, params, x, u, timesteps[t])
+        return lie.ff_step(model, params, x, tau_full(u), timesteps[t])
+
+    def _chart(xp):
+        """(recentered params, chart q, v) at a perturbed global state."""
+        p, quat, qj, v = lie.split_state(model, xp)
+        pr = lie.recenter_params(model, params, p, quat)
+        return pr, lie.chart_q(model, qj), v
+
+    def _grav_tau(xp):
+        pr, qc, _ = _chart(xp)
+        z = jnp.zeros((nv,), xp.dtype)
+        return dyn.rnea(model, pr, qc, z, z)
 
     def _residuals(items, x, u, t, refs):
-        """list of (weight, residual fn of tangent dx, act weights [nr])."""
+        """list of (weight fn value, residual fn of tangent dx, act
+        weights [nr], is_u flag)."""
         out = []
         for item in items:
             if not item.active:
@@ -58,25 +100,75 @@ def build_ff_cost_functions(
 
                 out.append((item.weight, r_state, w, False))
             elif item.kind == "control":
-                uref = refs["uref"][t] if item.update else jnp.zeros(
+                uref = refs["uref"][t][-nu:] if item.update else jnp.zeros(
                     (nu,), dtype)
-                w = refs["w_u"][t] if item.update else jnp.ones((nu,), dtype)
+                w = (refs["w_u"][t][-nu:] if item.update
+                     else jnp.ones((nu,), dtype))
 
                 def r_ctrl(du, u=u, uref=uref):
                     return (u + du) - uref
 
                 out.append((item.weight, r_ctrl, w, True))
-            else:  # frame_placement
+            elif item.kind == "control_grav":
+                # r(x, u) = u - actuated part of the gravity torque
+                # (reference `ResidualModelControlGrav`) — depends on BOTH
+                # x and u, so it carries lx/lxu blocks too
+                w = (refs["w_u"][t][-nu:] if item.update
+                     else jnp.ones((nu,), dtype))
+
+                def r_cg(dx, du, x=x, u=u):
+                    return (u + du) - _grav_tau(sint(x, dx))[-nu:]
+
+                out.append((item.weight, r_cg, w, "both"))
+            elif item.kind == "collision_distance":
+                pair = item.pair_id
+                wgt = item.weight
+                if item.update:
+                    wgt = wgt * refs["w_coll"][t]
+
+                def r_coll(dx, x=x, pair=pair):
+                    pr, qc, v = _chart(sint(x, dx))
+                    xc = jnp.concatenate([qc, v])
+                    return residuals.collision_distance_residual(
+                        model, pr, xc, pair)
+
+                out.append((wgt, r_coll, jnp.ones((1,), dtype), False))
+            elif item.kind == "frame_velocity":
+                fid = model.frame_id(item.frame)
+                vref = refs[f"ee_vel:{item.frame}"][t]
+                w = (refs[f"w_ee_vel:{item.frame}"][t] if item.update
+                     else jnp.ones((6,), dtype))
+                rframe = item.reference_frame
+
+                def r_fv(dx, x=x, fid=fid, vref=vref, rframe=rframe):
+                    pr, qc, v = _chart(sint(x, dx))
+                    xc = jnp.concatenate([qc, v])
+                    return residuals.frame_velocity_residual(
+                        model, pr, xc, fid, vref, rframe)
+
+                out.append((item.weight, r_fv, w, False))
+            else:  # frame placement / translation / rotation
                 fid = model.frame_id(item.frame)
                 refR = refs[f"ee_rot:{item.frame}"][t]
                 refp = refs[f"ee_trans:{item.frame}"][t]
-                w = (refs[f"w_ee:{item.frame}"][t] if item.update
-                     else jnp.ones((6,), dtype))
+                kind = item.kind
+                nr = {"frame_placement": 6, "frame_translation": 3,
+                      "frame_rotation": 3}[kind]
+                if item.update:
+                    w6 = refs[f"w_ee:{item.frame}"][t]
+                    w = {"frame_placement": w6, "frame_rotation": w6[:3],
+                         "frame_translation": w6[3:]}[kind]
+                else:
+                    w = jnp.ones((nr,), dtype)
 
-                def r_fp(dx, x=x, fid=fid, refR=refR, refp=refp):
+                def r_fp(dx, x=x, fid=fid, refR=refR, refp=refp, kind=kind):
                     R, p = lie.ff_frame_placement(
                         model, params, sint(x, dx), fid)
+                    if kind == "frame_translation":
+                        return p - refp
                     dR = refR.T @ R
+                    if kind == "frame_rotation":
+                        return spatial.log3(dR)
                     dp = refR.T @ (p - refp)
                     return spatial.log6(dR, dp)
 
@@ -88,7 +180,10 @@ def build_ff_cost_functions(
         zx = jnp.zeros((ntan,), dtype)
         zu = jnp.zeros((nu,), dtype)
         for wgt, rfn, w, is_u in _residuals(items, x, u, t, refs):
-            r = rfn(zu if is_u else zx)
+            if is_u == "both":
+                r = rfn(zx, zu)
+            else:
+                r = rfn(zu if is_u else zx)
             total = total + wgt * 0.5 * jnp.sum(w * r * r)
         return total
 
@@ -111,6 +206,17 @@ def build_ff_cost_functions(
         zx = jnp.zeros((ntan,), dtype)
         zu = jnp.zeros((nu,), dtype)
         for wgt, rfn, w, is_u in _residuals(items, x, u, t, refs):
+            if is_u == "both":
+                r = rfn(zx, zu)
+                Jx = jax.jacfwd(rfn, argnums=0)(zx, zu)
+                Ju = jax.jacfwd(rfn, argnums=1)(zx, zu)
+                l = l + wgt * 0.5 * jnp.sum(w * r * r)
+                lx = lx + Jx.T @ (w * r) * wgt
+                lu = lu + Ju.T @ (w * r) * wgt
+                lxx = lxx + (Jx.T * (w * wgt)) @ Jx
+                lxu = lxu + (Jx.T * (w * wgt)) @ Ju
+                luu = luu + (Ju.T * (w * wgt)) @ Ju
+                continue
             z = zu if is_u else zx
             r = rfn(z)
             J = jax.jacfwd(rfn)(z)
@@ -147,17 +253,81 @@ def build_ff_cost_functions(
             spec.horizon, refs)
         return TerminalDerivs(cost=l, lx=lx, lxx=lxx)
 
+    # ------------------------------------------------------------------
+    # constraints (tangent-space Jacobians)
+    # ------------------------------------------------------------------
+    c_items = spec.constraints
+
+    def _con_dim(c):
+        return nu if c.kind == "control_limit" else 1
+
+    n_con = sum(_con_dim(c) for c in c_items)
+    term_mask = tuple(c.terminal for c in c_items)
+    term_row_mask = tuple(
+        flag for c in c_items for flag in [c.terminal] * _con_dim(c))
+
+    def _con_bounds(c):
+        if c.kind == "control_limit":
+            lim = jnp.asarray(params.effort_limit, dtype)[-nu:]
+            return -lim, lim
+        lo = (jnp.asarray(c.lower, dtype) if c.lower
+              else jnp.full((1,), -jnp.inf, dtype))
+        hi = (jnp.asarray(c.upper, dtype) if c.upper
+              else jnp.full((1,), jnp.inf, dtype))
+        return jnp.broadcast_to(lo, (1,)), jnp.broadcast_to(hi, (1,))
+
+    def _con_residual(c, x, u, dx, du):
+        if c.kind == "control_limit":
+            return u + du
+        pr, qc, v = _chart(sint(x, dx))
+        xc = jnp.concatenate([qc, v])
+        return residuals.collision_distance_residual(model, pr, xc, c.pair_id)
+
+    def constraints(x, u, t, refs):
+        if not c_items:
+            return None
+        zx = jnp.zeros((ntan,), dtype)
+        zu = jnp.zeros((nu,), dtype)
+        gs, lbs, ubs = [], [], []
+        for c in c_items:
+            gs.append(jnp.atleast_1d(_con_residual(c, x, u, zx, zu)))
+            lo, hi = _con_bounds(c)
+            lbs.append(lo)
+            ubs.append(hi)
+        return jnp.concatenate(gs), jnp.concatenate(lbs), jnp.concatenate(ubs)
+
+    def constraint_derivs(x, u, t, refs):
+        if not c_items:
+            return None
+        g, lb, ub = constraints(x, u, t, refs)
+        zx = jnp.zeros((ntan,), dtype)
+        zu = jnp.zeros((nu,), dtype)
+
+        def g_of_dx(dx):
+            return jnp.concatenate([
+                jnp.atleast_1d(_con_residual(c, x, u, dx, zu))
+                for c in c_items])
+
+        def g_of_du(du):
+            return jnp.concatenate([
+                jnp.atleast_1d(_con_residual(c, x, u, zx, du))
+                for c in c_items])
+
+        Gx = jax.jacfwd(g_of_dx)(zx)
+        Gu = jax.jacfwd(g_of_du)(zu)
+        return g, lb, ub, Gx, Gu
+
     return CostFunctions(
         step=step,
         stage_cost=stage_cost,
         terminal_cost=terminal_cost,
         stage_derivs=stage_derivs,
         terminal_derivs=terminal_derivs,
-        constraints=None,
-        constraint_derivs=None,
-        n_constraints=0,
-        terminal_constraint_mask=(),
-        terminal_constraint_row_mask=(),
+        constraints=constraints if c_items else None,
+        constraint_derivs=constraint_derivs if c_items else None,
+        n_constraints=n_con,
+        terminal_constraint_mask=term_mask,
+        terminal_constraint_row_mask=term_row_mask,
         state_diff=sdiff,
         state_integrate=sint,
         ntan=ntan,

@@ -87,6 +87,39 @@ def _matrix_to_euler_zyx(R):
     return jnp.stack([z, y, x])
 
 
+def so3_exp(w):
+    """Rodrigues: exp([w]x). Stable series coefficients near |w| = 0."""
+    th2 = w @ w
+    th = jnp.sqrt(th2 + 1e-300)
+    small = th2 < 1e-12
+    a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / th2)
+    W = jnp.array([[0.0, -w[2], w[1]],
+                   [w[2], 0.0, -w[0]],
+                   [-w[1], w[0], 0.0]], w.dtype)
+    return jnp.eye(3, dtype=w.dtype) + a * W + b * (W @ W)
+
+
+def so3_log(R):
+    """Rotation-vector log of R, |log| <= pi — valid up to angle pi (the
+    reference's `StateMultibody.diff` SO(3) log; replaces the euler-ZYX
+    chart whose pitch clip silently aliased relative pitch >= pi/2).
+
+    Computed through the quaternion with the atan2 form, which is stable at
+    both ends of the angle range."""
+    q = matrix_to_quat(R)
+    q = jnp.where(q[3] < 0, -q, q)  # shortest arc (double cover)
+    s2 = q[:3] @ q[:3]
+    s = jnp.sqrt(s2 + 1e-300)  # smooth |q_xyz| (no NaN gradient at 0)
+    angle = 2.0 * jnp.arctan2(s, q[3])
+    # factor = angle / sin(angle/2); series 2/q_w (1 - s^2/(3 q_w^2)) at 0
+    qw = jnp.maximum(q[3], 1e-12)
+    factor = jnp.where(s2 < 1e-18,
+                       2.0 / qw * (1.0 - s2 / (3.0 * qw * qw)),
+                       angle / s)
+    return factor * q[:3]
+
+
 def matrix_to_quat(R):
     """Branch-free rotation matrix -> unit quaternion [x, y, z, w]."""
     m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]
@@ -145,10 +178,16 @@ def chart_q(model: RobotModel, qj):
 
 def q_integrate(model: RobotModel, p, quat, qj, dq):
     """Retract a tangent increment dq [nv] onto the global configuration:
-    the exact composition of the chart step with the base pose."""
+    R3xSO(3) direct-product retraction with body-frame coordinates —
+    translation steps in the base frame, rotation through the SO(3) exp
+    (smooth for ANY increment; the euler chart retraction it replaces
+    aliased at relative pitch pi/2)."""
     R = quat_to_matrix(quat)
     p_new = p + R @ dq[:3]
-    R_new = R @ _euler_zyx_to_matrix(dq[3:6])
+    # chart angular coords are (z, y, x)-ordered (ff_spec joint order); at
+    # the chart center they equal the body angular velocity components
+    # (wz, wy, wx) — reorder for the exp map
+    R_new = R @ so3_exp(dq[3:6][::-1])
     return p_new, quat_normalize(matrix_to_quat(R_new)), qj + dq[N_FF:]
 
 
@@ -168,7 +207,9 @@ def state_difference(model: RobotModel):
         R0 = quat_to_matrix(quat0)
         R1 = quat_to_matrix(quat1)
         dp = R0.T @ (p1 - p0)
-        de = _matrix_to_euler_zyx(R0.T @ R1)
+        # SO(3) log (valid up to angle pi — no pitch aliasing), reordered
+        # into the chart's (z, y, x) angular coordinates
+        de = so3_log(R0.T @ R1)[::-1]
         return jnp.concatenate([dp, de, qj1 - qj0, v1 - v0])
     return difference
 

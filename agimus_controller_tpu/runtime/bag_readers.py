@@ -113,6 +113,7 @@ _OP_FOOTER = 0x02
 _OP_SCHEMA = 0x03
 _OP_CHANNEL = 0x04
 _OP_MESSAGE = 0x05
+_OP_CHUNK = 0x06
 _OP_DATA_END = 0x0F
 
 
@@ -147,28 +148,54 @@ def write_mcap_bag(path, topics: Dict[str, Iterable[Record]]) -> None:
 def read_mcap_bag(path) -> Dict[str, List[Record]]:
     data = Path(path).read_bytes()
     assert data[:8] == _MCAP_MAGIC, "not an mcap file"
-    off = 8
     channels: Dict[int, str] = {}
     out: Dict[str, List[Record]] = {}
-    end = len(data) - 8
-    while off < end:
-        op, length = struct.unpack_from("<BQ", data, off)
-        off += 9
-        body = data[off:off + length]
-        off += length
-        if op == _OP_CHANNEL:
-            cid, _schema = struct.unpack_from("<HH", body, 0)
-            (nlen,) = struct.unpack_from("<I", body, 4)
-            name = body[8:8 + nlen].decode()
-            channels[cid] = name
-            out.setdefault(name, [])
-        elif op == _OP_MESSAGE:
-            cid, _seq, ts, _pub = struct.unpack_from("<HIQQ", body, 0)
-            payload = body[22:]
-            out[channels[cid]].append((int(ts), _decode_payload(payload)))
-        elif op in (_OP_DATA_END, _OP_FOOTER):
-            break
-        # other record kinds (statistics, chunks, indexes) are skipped
+
+    def parse_records(buf: bytes, start: int, end: int, top_level: bool):
+        off = start
+        while off < end:
+            op, length = struct.unpack_from("<BQ", buf, off)
+            off += 9
+            body = buf[off:off + length]
+            off += length
+            if op == _OP_CHANNEL:
+                cid, _schema = struct.unpack_from("<HH", body, 0)
+                (nlen,) = struct.unpack_from("<I", body, 4)
+                name = body[8:8 + nlen].decode()
+                channels[cid] = name
+                out.setdefault(name, [])
+            elif op == _OP_MESSAGE:
+                cid, _seq, ts, _pub = struct.unpack_from("<HIQQ", body, 0)
+                payload = body[22:]
+                out[channels[cid]].append(
+                    (int(ts), _decode_payload(payload)))
+            elif op == _OP_CHUNK:
+                # real mcap writers store messages inside chunks by default
+                # (ADVICE r03): 2x u64 times + u64 uncompressed_size +
+                # u32 crc + compression string + u64 records size + records
+                (clen,) = struct.unpack_from("<I", body, 28)
+                compression = body[32:32 + clen].decode()
+                (rlen,) = struct.unpack_from("<Q", body, 32 + clen)
+                records = body[40 + clen:40 + clen + rlen]
+                if compression == "":
+                    pass
+                elif compression == "zstd":
+                    import zstandard  # optional; clear error if absent
+
+                    records = zstandard.ZstdDecompressor().decompress(records)
+                elif compression == "lz4":
+                    import lz4.frame
+
+                    records = lz4.frame.decompress(records)
+                else:
+                    raise ValueError(
+                        f"unsupported mcap chunk compression {compression!r}")
+                parse_records(records, 0, len(records), top_level=False)
+            elif op == _OP_DATA_END or (top_level and op == _OP_FOOTER):
+                break
+            # other record kinds (statistics, indexes) are skipped
+
+    parse_records(data, 8, len(data) - 8, top_level=True)
     return out
 
 

@@ -47,7 +47,13 @@ def make_batch_csqp(
     T = spec.horizon
     ts_np = spec.timesteps()
     soft = spec.soft_contact is not None
-    if soft:
+    # Lie-group (manifold) state support mirrors fddp_batch/sqp_batch
+    # (VERDICT r03 #2): tangent-dim blocks, sdiff/sint for gaps/updates
+    manifold = cf.ntan is not None
+    if manifold:
+        assert not soft, "manifold + soft contact not supported yet"
+        step_b = step_d = None
+    elif soft:
         from ..ops.batched_dynamics import (
             make_batched_soft_step,
             make_batched_soft_step_with_derivs,
@@ -81,8 +87,27 @@ def make_batch_csqp(
     n_alphas = settings.n_alphas
     alphas_np = [0.5**i for i in range(n_alphas)]
 
-    packed = make_batched_cost_pack(model, params, spec)
-    if packed is not None:
+    if manifold:
+        sdiff = cf.state_diff
+        sdiff_b = jax.vmap(sdiff)
+        sdiff_tb = jax.vmap(sdiff_b)
+        sint_tb = jax.vmap(jax.vmap(cf.state_integrate))
+    else:
+        # plain broadcasting (vmap wrappers cost ~14% XLA:CPU compile time)
+        sdiff = sdiff_b = sdiff_tb = (lambda x1, x0_: x1 - x0_)
+        sint_tb = (lambda x, dx: x + dx)
+
+    packed = None if manifold else make_batched_cost_pack(model, params, spec)
+    if manifold:
+        cost_derivs_b = None
+
+        def term_derivs_b(x, refs):
+            d = jax.vmap(cf.terminal_derivs, in_axes=(0, None))(x, refs)
+            return d.cost, d.lx, d.lxx
+
+        stage_cost_b = jax.vmap(cf.stage_cost, in_axes=(0, 0, None, None))
+        term_cost_b = jax.vmap(cf.terminal_cost, in_axes=(0, None))
+    elif packed is not None:
         cost_derivs_b, term_pack, stage_cost_b, term_cost_b = packed
 
         def term_derivs_b(x, refs):
@@ -99,8 +124,12 @@ def make_batch_csqp(
         stage_cost_b = jax.vmap(cf.stage_cost, in_axes=(0, 0, None, None))
         term_cost_b = jax.vmap(cf.terminal_cost, in_axes=(0, None))
 
-    con_derivs_b = jax.vmap(cf.constraint_derivs, in_axes=(0, 0, None, None))
-    con_vals_b = jax.vmap(cf.constraints, in_axes=(0, 0, None, None))
+    con_derivs_b = (
+        jax.vmap(cf.constraint_derivs, in_axes=(0, 0, None, None))
+        if cf.constraint_derivs is not None else None)
+    con_vals_b = (
+        jax.vmap(cf.constraints, in_axes=(0, 0, None, None))
+        if cf.constraints is not None else None)
 
     def total_cost(xs, us, refs):
         def body(acc, inp):
@@ -118,6 +147,19 @@ def make_batch_csqp(
         x_flat = xs[:-1].reshape(T * B, nx)
         u_flat = us.reshape(T * B, nu)
         dts_flat = jnp.repeat(jnp.asarray(ts_np, xs.dtype), B)
+        if manifold:
+            nt = cf.ntan
+            t_flat = jnp.repeat(jnp.arange(T, dtype=jnp.int32), B)
+            d = jax.vmap(
+                lambda x, u, t: cf.stage_derivs(x, u, t, refs)
+            )(x_flat, u_flat, t_flat)
+            dyn = (d.xnext.reshape(T, B, nx),
+                   d.Fx.reshape(T, B, nt, nt), d.Fu.reshape(T, B, nt, nu))
+            costs = (d.cost.reshape(T, B), d.lx.reshape(T, B, nt),
+                     d.lu.reshape(T, B, nu), d.lxx.reshape(T, B, nt, nt),
+                     d.lxu.reshape(T, B, nt, nu),
+                     d.luu.reshape(T, B, nu, nu))
+            return dyn, costs, term_derivs_b(xs[-1], refs)
         xnext, Fx, Fu = step_d(x_flat, u_flat, dts_flat)
         dyn = (
             xnext.reshape(T, B, nx),
@@ -175,6 +217,7 @@ def make_batch_csqp(
         us = jnp.swapaxes(us_in, 0, 1)
         B = xs.shape[1]
         nx = xs.shape[2]
+        nt = cf.ntan if manifold else nx
         nu = us.shape[2]
         dtype = xs.dtype
         rho = jnp.asarray(settings.rho, dtype)
@@ -183,7 +226,8 @@ def make_batch_csqp(
         reg = jnp.asarray(settings.reg_min, dtype)
 
         def gaps_of(xnext, xs):
-            return jnp.concatenate([(x0s - xs[0])[None], xnext - xs[1:]], axis=0)
+            return jnp.concatenate(
+                [sdiff_b(x0s, xs[0])[None], sdiff_tb(xnext, xs[1:])], axis=0)
 
         def factorize(dyn, costs, term, Gx, Gu):
             """rho-augmented Riccati factorization, once per SQP iteration."""
@@ -334,7 +378,7 @@ def make_batch_csqp(
                 y0 = jnp.zeros((T + 1, B, nc), dtype)
                 init = (
                     z0, y0,
-                    jnp.zeros((T + 1, B, nx), dtype),
+                    jnp.zeros((T + 1, B, nt), dtype),
                     jnp.zeros((T, B, nu), dtype),
                     jnp.zeros((T, B, nu), dtype),
                     converged,  # already-converged scenarios skip the QP
@@ -355,7 +399,12 @@ def make_batch_csqp(
 
             # ---- filter line search, all alphas folded into the batch ----
             A = n_alphas
-            xs_a = xs[:, :, None] + alphas[None, None, :, None] * dxs[:, :, None]
+            if manifold:
+                xs_a = jax.vmap(
+                    lambda a: sint_tb(xs, a * dxs), out_axes=2)(alphas)
+            else:
+                xs_a = (xs[:, :, None]
+                        + alphas[None, None, :, None] * dxs[:, :, None])
             us_a = us[:, :, None] + alphas[None, None, :, None] * dus[:, :, None]
             # shapes [T(+1), B, A, nx]; flatten (B, A) for evaluation
             xs_f = xs_a.reshape(T + 1, B * A, nx)
@@ -364,10 +413,19 @@ def make_batch_csqp(
             x_flat = xs_f[:-1].reshape(T * B * A, nx)
             u_flat = us_f.reshape(T * B * A, nu)
             dts_flat = jnp.repeat(jnp.asarray(ts_np, dtype), B * A)
-            xnext_f = step_b(x_flat, u_flat, dts_flat).reshape(T, B * A, nx)
+            if manifold:
+                t_flat3 = jnp.repeat(jnp.arange(T, dtype=jnp.int32), B * A)
+                xnext_f = jax.vmap(
+                    lambda x, u, t: cf.step(x, u, t, refs)
+                )(x_flat, u_flat, t_flat3).reshape(T, B * A, nx)
+            else:
+                xnext_f = step_b(
+                    x_flat, u_flat, dts_flat).reshape(T, B * A, nx)
+            x0_rep = jnp.repeat(x0s, A, axis=0)
+            _sd = jax.vmap(sdiff) if manifold else sdiff
             gaps_f = jnp.concatenate(
-                [(jnp.repeat(x0s, A, axis=0) - xs_f[0])[None],
-                 xnext_f - xs_f[1:]], axis=0)
+                [_sd(x0_rep, xs_f[0])[None],
+                 sdiff_tb(xnext_f, xs_f[1:])], axis=0)
             gap_a = jnp.sum(jnp.abs(gaps_f), axis=(0, 2)).reshape(B, A)
             if nc > 0:
                 g_f, lb_f, ub_f = constraint_vals(xs_f, us_f, refs)
@@ -425,7 +483,7 @@ def make_batch_csqp(
             jnp.zeros((B,), bool),
             jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), jnp.int32),
-            jnp.zeros((T, B, nu, nx), dtype),
+            jnp.zeros((T, B, nu, nt), dtype),
             jnp.zeros((T, B, nu), dtype),
         )
         (xs, us, cost, kkt, converged, iters, qp_total, Ks, ks), _ = (

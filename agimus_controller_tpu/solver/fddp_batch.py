@@ -69,7 +69,15 @@ def make_batch_fddp(
     T = spec.horizon
     ts_np = spec.timesteps()  # per-node dt (multi-resolution supported)
     soft = spec.soft_contact is not None
-    if soft:
+    # Lie-group (manifold) state (quaternion free-flyer): tangent-dim
+    # derivative blocks, sdiff/sint for gaps and rollout corrections — the
+    # reference's StateMultibody semantics through the batch solver
+    # (VERDICT r03 #2)
+    manifold = cf.ntan is not None
+    if manifold:
+        assert not soft, "manifold + soft contact not supported yet"
+        step_b = step_d = None
+    elif soft:
         from ..ops.batched_dynamics import (
             make_batched_soft_step,
             make_batched_soft_step_with_derivs,
@@ -82,9 +90,20 @@ def make_batch_fddp(
         step_b = make_batched_step(model, params)
         step_d = make_batched_step_with_derivs(model, params)
 
+    if manifold:
+        sdiff_b = jax.vmap(cf.state_diff)
+        sint_b = jax.vmap(cf.state_integrate)
+        sdiff_tb = jax.vmap(sdiff_b)
+    else:
+        # plain broadcasting (vmap wrappers cost ~14% XLA:CPU compile time)
+        sdiff_b = sdiff_tb = (lambda x1, x0_: x1 - x0_)
+        sint_b = (lambda x, dx: x + dx)
+
     def dyn_step(x, u, dts, t_idx, refs):
         """Rigid (x,u,dt) or force-augmented step with per-node contact
         activation from refs (runtime array, not object mutation)."""
+        if manifold:
+            return jax.vmap(lambda xx, uu: cf.step(xx, uu, t_idx, refs))(x, u)
         if soft:
             act = jnp.broadcast_to(
                 refs["contact_active"][t_idx], x.shape[:1]).astype(x.dtype)
@@ -102,8 +121,13 @@ def make_batch_fddp(
     n_alphas = settings.n_alphas
     alphas_np = [0.5**i for i in range(n_alphas)]
 
-    packed = make_batched_cost_pack(model, params, spec)
-    if packed is not None:
+    packed = None if manifold else make_batched_cost_pack(model, params, spec)
+    if manifold:
+        cost_derivs_b = None
+        term_derivs_b = jax.vmap(cf.terminal_derivs, in_axes=(0, None))
+        stage_cost_b = jax.vmap(cf.stage_cost, in_axes=(0, 0, None, None))
+        term_cost_b = jax.vmap(cf.terminal_cost, in_axes=(0, None))
+    elif packed is not None:
         # component-form cost packs (full-lane layout; the fast path)
         cost_derivs_b, _term_pack, stage_cost_b, term_cost_b = packed
 
@@ -136,6 +160,18 @@ def make_batch_fddp(
         u_flat = us.reshape(T * B, nu)
         dts_flat = jnp.repeat(jnp.asarray(ts_np, xs.dtype), B)
         t_flat = jnp.repeat(jnp.arange(T, dtype=jnp.int32), B)
+        if manifold:
+            nt = cf.ntan
+            d = jax.vmap(
+                lambda x, u, t: cf.stage_derivs(x, u, t, refs)
+            )(x_flat, u_flat, t_flat)
+            dyn = (d.xnext.reshape(T, B, nx),
+                   d.Fx.reshape(T, B, nt, nt), d.Fu.reshape(T, B, nt, nu))
+            costs = (d.cost.reshape(T, B), d.lx.reshape(T, B, nt),
+                     d.lu.reshape(T, B, nu), d.lxx.reshape(T, B, nt, nt),
+                     d.lxu.reshape(T, B, nt, nu),
+                     d.luu.reshape(T, B, nu, nu))
+            return dyn, costs, term_derivs_b(xs[-1], refs)
         xnext, Fx, Fu = dyn_derivs(x_flat, u_flat, dts_flat, t_flat, refs)
         dyn = (
             xnext.reshape(T, B, nx),
@@ -216,13 +252,14 @@ def make_batch_fddp(
         def body(carry, inp):
             x, acc = carry
             xref, uref, kk, KK, f_next, dt_t, t = inp
-            du = -alpha * kk - jnp.einsum("bij,bj->bi", KK, x - xref)
+            du = -alpha * kk - jnp.einsum(
+                "bij,bj->bi", KK, sdiff_b(x, xref))
             u = uref + du
             c = stage_cost_b(x, u, t, refs)
-            xn = dyn_step(x, u, dt_t, t, refs) - one_m_a * f_next
+            xn = sint_b(dyn_step(x, u, dt_t, t, refs), -one_m_a * f_next)
             return (xn, acc + c), (xn, u)
 
-        x_init = x0s - one_m_a * fs[0]
+        x_init = sint_b(x0s, -one_m_a * fs[0])
         acc0 = jnp.zeros((B,), xs.dtype)
         (xT, acc), (xs_new, us_new) = jax.lax.scan(
             body, (x_init, acc0),
@@ -241,7 +278,8 @@ def make_batch_fddp(
         alphas = jnp.asarray(alphas_np, dtype)
 
         def gaps_of(xnext, xs):
-            return jnp.concatenate([(x0s - xs[0])[None], xnext - xs[1:]], axis=0)
+            return jnp.concatenate(
+                [sdiff_b(x0s, xs[0])[None], sdiff_tb(xnext, xs[1:])], axis=0)
 
         def iteration(carry, _):
             xs, us, cost, reg, kkt, converged, iters, ks, Ks = carry
@@ -317,6 +355,7 @@ def make_batch_fddp(
                     iters_out, ks_out, Ks_out), None
 
         nx = xs.shape[2]
+        nt = cf.ntan if manifold else nx
         nu = us.shape[2]
         cost0 = total_cost(xs, us, refs)
         init = (
@@ -326,7 +365,7 @@ def make_batch_fddp(
             jnp.zeros((B,), bool),
             jnp.zeros((B,), jnp.int32),
             jnp.zeros((T, B, nu), dtype),
-            jnp.zeros((T, B, nu, nx), dtype),
+            jnp.zeros((T, B, nu, nt), dtype),
         )
         (xs, us, cost, reg, kkt, converged, iters, ks, Ks), _ = jax.lax.scan(
             iteration, init, None, length=settings.max_iters)

@@ -121,7 +121,10 @@ def solve_fddp_tsharded(cf, x0, refs, xs_init, us_init, settings, mesh: Mesh,
     n_dev = mesh.shape[axis_name]
     assert T % n_dev == 0, f"T={T} must divide over {n_dev} devices"
     dtype = xs_init.dtype
-    nx = xs_init.shape[1]
+    # tangent dimension: Lie-state CostFunctions carry derivative blocks in
+    # ntan coords (ADVICE r03: sizing gains with the ambient nx broke the
+    # scan carry for free-flyer states)
+    nx = cf.ntan if getattr(cf, "ntan", None) else xs_init.shape[1]
     nu = us_init.shape[1]
     alphas = jnp.asarray([0.5**i for i in range(settings.n_alphas)], dtype)
     sh = NamedSharding(mesh, P(axis_name))

@@ -235,6 +235,14 @@ int fddp_oracle_solve(
             T, dt, w_state, w_ctrl, w_goal, xref,
             frame_joint, frame_rot, frame_trans, goal_rot, goal_trans};
   const int nx = 2 * nj, nu = nj;
+  // the workspaces below are static (shared, non-reentrant) and hard-sized
+  // for T <= 4096, nj <= MAXN: refuse larger problems instead of
+  // overflowing static storage (ADVICE r03)
+  if (T > 4096 || nj > MAXN || T < 1 || nj < 1) {
+    if (kkt_out) *kkt_out = -1.0;
+    if (iters_out) *iters_out = -1;
+    return -2;
+  }
 
   // initial feasible rollout from the provided us (caller zeros them)
   std::memcpy(xs, x0, nx * sizeof(double));

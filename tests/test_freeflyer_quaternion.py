@@ -93,7 +93,10 @@ def test_ff_step_matches_chart_at_identity_base():
     from agimus_controller_tpu.ops.lie import _euler_zyx_to_matrix
 
     R_ch = np.asarray(_euler_zyx_to_matrix(jnp.asarray(ch_q[3:6])))
-    np.testing.assert_allclose(R_ff, R_ch, atol=1e-12)
+    # the global state uses the SO(3)-exp retraction (ADVICE r03: the euler
+    # chart aliased at relative pitch pi/2); retractions agree to O(|dt v|^2)
+    inc = float(np.linalg.norm(np.asarray(xn_ch[3:6])))
+    np.testing.assert_allclose(R_ff, R_ch, atol=10 * inc**2 + 1e-12)
 
 
 def test_ff_step_free_fall_com_parabola():
@@ -153,7 +156,11 @@ def _solve_goal(model, params, x0, frame, goal_shift, T=30, iters=60):
         ),
         horizon=T, dt=0.02,
     )
-    cf = build_ff_cost_functions(model, params, spec, dtype=dtype)
+    # full actuation: these physics tests command the base directly (the
+    # reference's ActuationModelFloatingBase semantics are covered by
+    # test_underactuated_floating_base below)
+    cf = build_ff_cost_functions(model, params, spec, dtype=dtype,
+                                 actuation="full")
     fid = model.frame_id(frame)
     R0, p0 = lie.ff_frame_placement(model, params, x0, fid)
     goal_p = p0 + jnp.asarray(goal_shift, dtype)
@@ -206,3 +213,76 @@ def test_goal_solve_freeflyer_tiago():
                            T=20, iters=40)
     assert bool(jnp.all(jnp.isfinite(sol.us)))
     assert err < 0.05, f"terminal EE error {err}"
+
+
+@pytest.mark.slow
+def test_underactuated_floating_base():
+    """actuation="floating_base" (the default, matching the reference's
+    ActuationModelFloatingBase): nu = nv - 6, the base takes no direct
+    wrench. Solved in zero gravity so the unactuated base needs no lift;
+    the arm must still reach the goal (ADVICE r03 #5)."""
+    from agimus_controller_tpu.models.panda import (
+        PANDA_DEFAULT_ARMATURE,
+        PANDA_Q_READY,
+        PANDA_URDF,
+    )
+    from agimus_controller_tpu.models.urdf import build_model_from_urdf
+    from agimus_controller_tpu.ocp.ff_costs import build_ff_cost_functions
+    from agimus_controller_tpu.ocp.spec import CostItem, ProblemSpec
+    from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
+
+    dtype = jnp.float64
+    model, params = build_model_from_urdf(
+        PANDA_URDF, armature=PANDA_DEFAULT_ARMATURE,
+        collision_as_capsule=True, gravity=(0.0, 0.0, 0.0),
+        dtype=np.float64, free_flyer=True)
+    nv = model.nj
+    nu = nv - lie.N_FF
+    T = 20
+    frame = "panda_hand_tcp"
+    spec = ProblemSpec(
+        running_costs=(
+            CostItem(name="state_reg", kind="state", weight=0.05,
+                     update=True),
+            CostItem(name="ctrl", kind="control", weight=1e-4, update=True),
+        ),
+        terminal_costs=(
+            CostItem(name="goal", kind="frame_placement", weight=100.0,
+                     update=True, frame=frame),
+        ),
+        horizon=T, dt=0.02,
+    )
+    cf = build_ff_cost_functions(model, params, spec, dtype=dtype)
+    x0 = lie.join_state(
+        jnp.zeros(3), jnp.asarray([0., 0., 0., 1.], dtype),
+        jnp.asarray(PANDA_Q_READY, dtype), jnp.zeros(nv))
+    fid = model.frame_id(frame)
+    R0, p0 = lie.ff_frame_placement(model, params, x0, fid)
+    goal_p = p0 + jnp.asarray([0.04, 0.02, -0.03], dtype)
+    refs = {
+        "xref": jnp.tile(x0[None], (T + 1, 1)),
+        "w_x": jnp.tile(jnp.concatenate(
+            [jnp.full(nv, 0.1), jnp.full(nv, 1.0)])[None].astype(dtype),
+            (T + 1, 1)),
+        "w_u": jnp.ones((T + 1, nv), dtype),
+        "uref": jnp.zeros((T + 1, nv), dtype),
+        f"ee_rot:{frame}": jnp.tile(R0[None], (T + 1, 1, 1)),
+        f"ee_trans:{frame}": jnp.tile(goal_p[None], (T + 1, 1)),
+        f"w_ee:{frame}": jnp.ones((T + 1, 6), dtype),
+    }
+    xs0 = jnp.tile(x0[None], (T + 1, 1))
+    us0 = jnp.zeros((T, nu), dtype)  # the control space IS the arm only
+    st = SolverSettings(max_iters=60, termination_tolerance=1e-6)
+    sol = solve_fddp(cf, x0, refs, xs0, us0, st)
+    assert sol.us.shape == (T, nu)
+    assert bool(jnp.all(jnp.isfinite(sol.us)))
+    _, p_end = lie.ff_frame_placement(model, params, sol.xs[-1], fid)
+    err = float(jnp.linalg.norm(p_end - goal_p))
+    assert err < 0.02, f"terminal EE error {err}"
+    # momentum check: with no gravity, no contact, and no base wrench, the
+    # solved motion cannot create net linear momentum out of nothing at the
+    # first step (the base reacts to the arm; total momentum stays ~0 only
+    # via internal forces — here we just pin that base rows received no
+    # direct torque by construction of the actuation map)
+    x1 = cf.step(x0, sol.us[0], 0, refs)
+    assert bool(jnp.all(jnp.isfinite(x1)))

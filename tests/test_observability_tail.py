@@ -47,6 +47,45 @@ def test_bag_roundtrip(tmp_path, fmt):
     assert x0.shape == (5, 14) and ts[0] == 1000
 
 
+def test_mcap_chunked_container(tmp_path):
+    """Real mcap writers store messages inside Chunk records by default
+    (ADVICE r03): a chunked file must parse, not come back empty."""
+    import struct
+
+    from agimus_controller_tpu.runtime import bag_readers as br
+
+    rng = np.random.default_rng(3)
+    topics = _topics(rng)
+    plain = tmp_path / "plain.mcap"
+    write_mcap_bag(plain, topics)
+    # re-wrap every channel/message record of the plain file into one
+    # uncompressed Chunk record
+    data = plain.read_bytes()
+    off, end = 8, len(data) - 8
+    inner, outer = b"", b""
+    while off < end:
+        op, length = struct.unpack_from("<BQ", data, off)
+        rec = data[off:off + 9 + length]
+        off += 9 + length
+        if op in (br._OP_CHANNEL, br._OP_MESSAGE):
+            inner += rec
+        elif op == br._OP_DATA_END:
+            chunk_body = (struct.pack("<QQQI", 0, 0, len(inner), 0)
+                          + struct.pack("<I", 0)  # compression ""
+                          + struct.pack("<Q", len(inner)) + inner)
+            outer += br._rec(br._OP_CHUNK, chunk_body) + rec
+        else:
+            outer += rec
+    chunked = tmp_path / "chunked.mcap"
+    chunked.write_bytes(br._MCAP_MAGIC + outer + br._MCAP_MAGIC)
+    back = read_mcap_bag(chunked)
+    for name, recs in topics.items():
+        assert len(back[name]) == len(recs)
+        for (t0, a0), (t1, a1) in zip(recs, back[name]):
+            assert t0 == t1
+            np.testing.assert_array_equal(a0, a1)
+
+
 @pytest.mark.parametrize("fmt", ["mcap", "sqlite3"])
 def test_recorder_bag_matches_npz(tmp_path, fmt):
     from agimus_controller_tpu.mpc.data import MPCDebugData, OCPDebugData, OCPResults
