@@ -225,6 +225,30 @@ class OCPJax(OCPBase):
             if c.kind == "visual_servoing"
         )
         self._host_refs: Dict[str, np.ndarray] = {}
+        # per-tick debug streams (reference `init_debug_data_attributes`,
+        # `ocp_croco_generic.py:814-825`): which cost names publish their
+        # references (update=True) and residual predictions
+        # (publish_residual=True) each tick when use_debug_data is on
+        _ref_key = {
+            "state": lambda c: "xref",
+            "control": lambda c: "uref",
+            "control_grav": lambda c: "uref",
+            "frame_placement": lambda c: f"ee_trans:{c.frame}",
+            "frame_translation": lambda c: f"ee_trans:{c.frame}",
+            "visual_servoing": lambda c: f"ee_trans:{c.frame}",
+            "frame_rotation": lambda c: f"ee_rot:{c.frame}",
+            "frame_velocity": lambda c: f"ee_vel:{c.frame}",
+            "force_tracking": lambda c: "f_des",
+        }
+        seen = set()
+        self._ref_stream_items = tuple(
+            (c.name, _ref_key[c.kind](c))
+            for c in spec.all_costs()
+            if c.update and c.kind in _ref_key
+            and not (c.name in seen or seen.add(c.name)))
+        self._residual_names = tuple(sorted(
+            {c.name for c in spec.all_costs() if c.publish_residual}))
+        self._residual_fn = None
 
     # ------------------------------------------------------------------
     @property
@@ -459,7 +483,39 @@ class OCPJax(OCPBase):
         qp = getattr(sol, "qp_iters", None)
         self._debug.nb_qp_iter = int(scalar(qp)) if qp is not None else 0
         self._debug.problem_solved = bool(scalar(sol.converged))
+        if self._ocp_params.use_debug_data:
+            self._fill_debug_streams()
         return self._results
+
+    def _fill_debug_streams(self):
+        """Populate `OCPDebugData.references/residuals` on the tick path
+        (reference: per-tick named cost references + residual predictions
+        selected by the YAML update/publish_residual flags,
+        `ocp_croco_generic.py:814-853` / `ros_utils.py:295-317`)."""
+        refs = self._current_refs()
+        self._debug.references = {
+            name: np.asarray(refs[key])
+            for name, key in self._ref_stream_items if key in refs
+        }
+        if not self._residual_names or self._cf.cost_breakdown is None:
+            return
+        if self._residual_fn is None:
+            T = self._spec.horizon
+            names = self._residual_names
+            cf = self._cf
+
+            def residual_pass(xs, us, rf):
+                rb = jax.vmap(
+                    lambda x, u, t: cf.cost_breakdown(x, u, t, rf)
+                )(xs[:-1], us, jnp.arange(T))
+                return {n: rb[n][1] for n in rb if n in names}
+
+            self._residual_fn = jax.jit(residual_pass)
+        res = self._residual_fn(
+            jnp.asarray(self._results.states, self._dtype),
+            jnp.asarray(self._results.feed_forward_terms, self._dtype),
+            refs)
+        self._debug.residuals = {n: np.asarray(v) for n, v in res.items()}
 
     def integrate(self, state: np.ndarray, control: np.ndarray) -> np.ndarray:
         """One Euler step on the first node's dynamics (delay compensation,

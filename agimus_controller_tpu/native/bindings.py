@@ -70,7 +70,8 @@ def _dp(a: np.ndarray):
 
 class NativeRBD:
     """Native rigid-body kernels over a compiled model (the cross-language
-    validation oracle; serial chains, nj <= 64)."""
+    validation oracle; kinematic TREES — branched topologies supported via
+    the parent arrays, topologically ordered; nj <= 64)."""
 
     def __init__(self, model: RobotModel, params: ModelParams):
         assert model.nj <= 64

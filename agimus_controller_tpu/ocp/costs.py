@@ -318,8 +318,14 @@ def build_cost_functions(
     def _bounds(c: ConstraintItem, dtype):
         nr = c.residual_dim(model, nc)
         if c.kind == "control_limit":
-            lim = params.effort_limit
-            return -lim, lim
+            # default: +-effortLimit (reference ConstraintModelControlLimit);
+            # explicit lower/upper tighten/override the box
+            lim = jnp.asarray(params.effort_limit, dtype)
+            lo = jnp.broadcast_to(
+                jnp.asarray(c.lower, dtype), (nr,)) if c.lower else -lim
+            hi = jnp.broadcast_to(
+                jnp.asarray(c.upper, dtype), (nr,)) if c.upper else lim
+            return lo, hi
         if c.kind == "force_box" and not c.lower and not c.upper and sc is not None:
             lo = (jnp.asarray(sc.force_lb, dtype) if sc.force_lb
                   else jnp.full((nr,), -jnp.inf, dtype))

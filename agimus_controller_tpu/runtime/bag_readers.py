@@ -234,7 +234,7 @@ def load_mpc_outputs_from_bag(path):
         recs = bag.get(name, [])
         return np.stack([a for _, a in recs]) if recs else np.zeros((0,))
 
-    return {
+    out = {
         "state_predictions": stack("/mpc_debug/state_predictions"),
         "control_predictions": stack("/mpc_debug/control_predictions"),
         "kkt": stack("/mpc_debug/kkt").reshape(-1),
@@ -242,3 +242,10 @@ def load_mpc_outputs_from_bag(path):
         "qp_iters": stack("/mpc_debug/qp_iters").reshape(-1),
         "solve_time_ns": stack("/ocp_solve_time").reshape(-1),
     }
+    # named per-cost streams (reference `<name>_residuals`/`<name>_references`,
+    # `read_from_bag_trajectory.py:102-188`)
+    for topic in bag:
+        if topic.startswith("/mpc_debug/") and (
+                topic.endswith("_references") or topic.endswith("_residuals")):
+            out[topic[len("/mpc_debug/"):]] = stack(topic)
+    return out

@@ -82,6 +82,22 @@ class MPCDebugger:
             "grad_heatmap": np.asarray(heat),
         }
 
+    @staticmethod
+    def streams_from_tick(debug) -> Optional[Dict[str, Dict[str, np.ndarray]]]:
+        """Consume the per-tick named reference/residual streams the OCP
+        already published (`OCPDebugData.references/residuals`, filled by
+        `OCPJax._fill_debug_streams` when `use_debug_data` is on) WITHOUT
+        re-evaluating the OCP — the reference's MpcDebug-message consumption
+        path (`ros_utils.py:295-317`). Returns None when the tick carried no
+        streams (fall back to `evaluate`)."""
+        ocp_dbg = getattr(debug, "ocp", debug)
+        if ocp_dbg is None or not (ocp_dbg.references or ocp_dbg.residuals):
+            return None
+        return {
+            "references": dict(ocp_dbg.references),
+            "residuals": dict(ocp_dbg.residuals),
+        }
+
     def ee_path(self, xs: np.ndarray, frame: str) -> np.ndarray:
         """FK-projected EE positions of a predicted state path, [T+1, 3]
         (the RViz prediction-marker data)."""

@@ -24,6 +24,10 @@ class MPCRecorder:
         self.iters: List[int] = []
         self.qp_iters: List[int] = []
         self.solve_time_ns: List[int] = []
+        # named per-cost debug streams (reference `<name>_references` /
+        # `<name>_residuals`, `read_from_bag_trajectory.py:102-188`)
+        self.references: Dict[str, List[np.ndarray]] = {}
+        self.residuals: Dict[str, List[np.ndarray]] = {}
 
     def record(self, time_ns: int, x0: np.ndarray, res: OCPResults,
                debug: MPCDebugData) -> None:
@@ -35,6 +39,11 @@ class MPCRecorder:
         self.iters.append(debug.ocp.nb_iter if debug.ocp else 0)
         self.qp_iters.append(debug.ocp.nb_qp_iter if debug.ocp else 0)
         self.solve_time_ns.append(debug.duration_ocp_solve_ns)
+        if debug.ocp is not None:
+            for name, v in (debug.ocp.references or {}).items():
+                self.references.setdefault(name, []).append(np.asarray(v))
+            for name, v in (debug.ocp.residuals or {}).items():
+                self.residuals.setdefault(name, []).append(np.asarray(v))
 
     def as_mpc_data(self) -> Dict[str, np.ndarray]:
         t0 = self.time_ns[0] if self.time_ns else 0
@@ -49,6 +58,10 @@ class MPCRecorder:
             "iters": np.asarray(self.iters),
             "qp_iters": np.asarray(self.qp_iters),
             "solve_time_ns": np.asarray(self.solve_time_ns),
+            **{f"{n}_references": np.stack(v)
+               for n, v in self.references.items()},
+            **{f"{n}_residuals": np.stack(v)
+               for n, v in self.residuals.items()},
         }
 
     def save(self, path) -> None:
@@ -75,6 +88,10 @@ class MPCRecorder:
             "/mpc_debug/iters": scalar(self.iters),
             "/mpc_debug/qp_iters": scalar(self.qp_iters),
             "/ocp_solve_time": scalar(self.solve_time_ns),
+            **{f"/mpc_debug/{n}_references": list(zip(ts, v))
+               for n, v in self.references.items()},
+            **{f"/mpc_debug/{n}_residuals": list(zip(ts, v))
+               for n, v in self.residuals.items()},
         }
 
     def save_bag(self, path, fmt: str = "mcap") -> None:

@@ -295,9 +295,9 @@ def make_batch_csqp(
                 kk = jax.lax.linalg.triangular_solve(
                     L, yv, left_side=True, lower=True, transpose_a=True)[..., 0]
                 Vx_new = Qx - jnp.einsum("bij,bi->bj", K, Qu)
-                return Vx_new, kk
+                return Vx_new, (kk, Qu)
 
-            _, ks = jax.lax.scan(
+            _, (ks, Qus) = jax.lax.scan(
                 backward, rxT,
                 (rx, ru, Fx_all, Fu_all, fs[1:], Ls, Ks, Vxx_next),
                 reverse=True)
@@ -313,14 +313,14 @@ def make_batch_csqp(
             dxT, (dxs, dus) = jax.lax.scan(
                 forward, fs[0], (ks, Ks, Fx_all, Fu_all, fs[1:]))
             dxs = jnp.concatenate([dxs, dxT[None]], axis=0)  # [T+1, B, nx]
-            return dxs, dus, ks
+            return dxs, dus, ks, Qus
 
         # ------------------------------------------------------------------
         # one SQP iteration
         # ------------------------------------------------------------------
         def sqp_iteration(carry, _):
             (xs, us, cost, kkt, converged, iters, qp_total,
-             Ks_prev, ks_prev) = carry
+             Ks_prev, ks_prev, y_carry) = carry
             dyn, costs, term = derivs_of(xs, us, refs)
             fs = gaps_of(dyn[0], xs)
             gap_sum = jnp.sum(jnp.abs(fs), axis=(0, 2))  # [B]
@@ -349,7 +349,7 @@ def make_batch_csqp(
 
                 def admm_body(state):
                     z, y, dxs, dus, ks, done, n = state
-                    dxs2, dus2, ks2 = qp_sweep(
+                    dxs2, dus2, ks2, _ = qp_sweep(
                         dyn, costs, term, fs, Ls, Ks, Vxx_next, Gx, Gu, z, y)
                     c = cvals(dxs2, dus2)
                     z2 = jnp.clip(c + y, lo, hi)
@@ -375,7 +375,8 @@ def make_batch_csqp(
                             done2, n + 1)
 
                 z0 = jnp.clip(jnp.zeros((T + 1, B, nc), dtype), lo, hi)
-                y0 = jnp.zeros((T + 1, B, nc), dtype)
+                # WARM-STARTED duals carried across SQP iterations (r04)
+                y0 = y_carry
                 init = (
                     z0, y0,
                     jnp.zeros((T + 1, B, nt), dtype),
@@ -385,8 +386,15 @@ def make_batch_csqp(
                     jnp.asarray(0, jnp.int32))
                 z, y, dxs, dus, ks, qp_done, qp_n = jax.lax.while_loop(
                     admm_cond, admm_body, init)
+                # TRUE stationarity with the ADMM duals mu = rho*y:
+                # qp_sweep(z=0, y) builds l* + G^T mu; its Qu output is the
+                # reduced Lagrangian gradient (mim_solvers KKT criterion,
+                # VERDICT r03 #3 — replaces the max|du| step-size proxy)
+                _, _, _, Qus_kkt = qp_sweep(
+                    dyn, costs, term, fs, Ls, Ks, Vxx_next, Gx, Gu,
+                    jnp.zeros_like(z), y)
             else:
-                dxs, dus, ks = qp_sweep(
+                dxs, dus, ks, Qus_kkt = qp_sweep(
                     dyn, costs, term, fs, Ls, Ks, Vxx_next,
                     None, None, None, None)
                 qp_n = jnp.asarray(1, jnp.int32)
@@ -450,15 +458,17 @@ def make_batch_csqp(
             us_best = us_a[:, bidx, best]
             cost_best = cost_a[bidx, best]
 
-            # practical KKT: feasibility + full-step magnitude (per scenario),
+            # honest KKT: feasibility + Lagrangian stationarity (per scenario),
             # measured at the CURRENT iterate — scenarios that meet the
             # tolerance return this verified iterate (no further step)
-            kkt_new = jnp.maximum(
+            kkt_raw = jnp.maximum(
                 jnp.maximum(
                     jnp.max(jnp.abs(fs), axis=(0, 2)),
                     jnp.max(_violation(g, lb, ub), axis=(0, 2))
                     if nc > 0 else jnp.zeros((B,), dtype)),
-                jnp.max(jnp.abs(dus), axis=(0, 2)))
+                jnp.max(jnp.abs(Qus_kkt), axis=(0, 2)))
+            kkt_new = jnp.where(step_bad | ~jnp.isfinite(kkt_raw),
+                                jnp.full((B,), jnp.inf, dtype), kkt_raw)
             newly_conv = kkt_new < settings.termination_tolerance
 
             ok = any_accept & ~converged & ~newly_conv
@@ -473,8 +483,12 @@ def make_batch_csqp(
             iters_out = iters + live.astype(iters.dtype)
             qp_out = qp_total + jnp.where(live, qp_n, 0)
             conv_out = converged | newly_conv
+            if nc > 0:
+                y_next = jnp.where(live[None, :, None], y, y_carry)
+            else:
+                y_next = y_carry
             return (xs_out, us_out, cost_out, kkt_out, conv_out,
-                    iters_out, qp_out, Ks_out, ks_out), None
+                    iters_out, qp_out, Ks_out, ks_out, y_next), None
 
         cost0 = total_cost(xs, us, refs)
         init = (
@@ -485,8 +499,10 @@ def make_batch_csqp(
             jnp.zeros((B,), jnp.int32),
             jnp.zeros((T, B, nu, nt), dtype),
             jnp.zeros((T, B, nu), dtype),
+            jnp.zeros((T + 1, B, max(nc, 1)), dtype),  # ADMM dual carry
         )
-        (xs, us, cost, kkt, converged, iters, qp_total, Ks, ks), _ = (
+        (xs, us, cost, kkt, converged, iters, qp_total, Ks, ks,
+         _y), _ = (
             jax.lax.scan(sqp_iteration, init, None,
                          length=settings.max_iters))
 

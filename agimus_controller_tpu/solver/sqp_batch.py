@@ -493,8 +493,8 @@ def make_batch_sqp(
 
         def iteration(carry):
             (xs, us, cost, kkt, converged, iters, qp_total, ks, Ks_d,
-             reg, rho_b) = carry[:11]
-            tr = carry[11:]
+             reg, rho_b, y_carry) = carry[:12]
+            tr = carry[12:]
             dyn, costs, term = derivs_of(xs, us, refs)
             xnext, Fx, Fu = dyn
             l, lx, lu, lxx, lxu, luu = costs
@@ -562,8 +562,13 @@ def make_batch_sqp(
                     return vector_sweep(
                         Ls, Ks, Vxx_next, Fx_t, Fu_t, rx_t, ru_t, rxT_q, fs_t)
 
+                # WARM-STARTED duals: y carries over from the previous SQP
+                # iteration (mim_solvers warm-starts its QP the same way).
+                # Cold-started duals make the outer loop creep on curved
+                # active constraints (observed: a collision band violated by
+                # ~9e-4 decaying ~1/k for hundreds of iterations).
                 z0 = jnp.clip(jnp.zeros((T + 1, nc, B), dtype), lo_t, hi_t)
-                y0 = jnp.zeros((T + 1, nc, B), dtype)
+                y0 = y_carry
 
                 def admm_body(state):
                     (z, y, dxs_t, dus_t, ks_t, Qus_t, done, n,
@@ -612,6 +617,12 @@ def make_batch_sqp(
                 (z, y, dxs_t, dus_t, ks_t, Qus_t, qp_done, qp_n,
                  rp_f, rd_f) = (
                     jax.lax.while_loop(admm_cond, admm_body, state))
+                # TRUE stationarity at the current iterate: Lagrangian
+                # gradient in the reduced u-space with the inequality
+                # multipliers mu = rho*y (mim_solvers KKT criterion,
+                # VERDICT r03 #3). sweep_with(0, y) builds the linear terms
+                # l* + G^T mu; its Qu output is the reduced gradient.
+                _, _, _, Qus_kkt = sweep_with(jnp.zeros_like(z), y)
                 # OSQP-style per-scenario rho adaptation for the NEXT SQP
                 # iteration (mim_solvers adapts rho the same way; the cached
                 # factorization is rebuilt each SQP iteration anyway)
@@ -626,6 +637,9 @@ def make_batch_sqp(
             else:
                 dxs_t, dus_t, ks_t, Qus_t = vector_sweep(
                     Ls, Ks, Vxx_next, Fx_t, Fu_t, lx_t, lu_t, rxT, fs_t)
+                # unconstrained: Qu from the plain sweep IS the reduced
+                # Lagrangian gradient
+                Qus_kkt = Qus_t
                 qp_n = jnp.ones((B,), jnp.int32)
                 rho_next = rho_b
 
@@ -644,11 +658,12 @@ def make_batch_sqp(
                 x0s, xs, us, dxs, dus, refs, cost, infeas0, skip)
             any_accept = any_accept & ~step_bad
 
-            # practical KKT at the current iterate (pre-step): stationarity
-            # of the QP direction + feasibility (mim_solvers criterion).
+            # honest KKT at the current iterate (pre-step): Lagrangian
+            # stationarity (ADMM duals included in the constrained case) +
+            # primal feasibility — the mim_solvers criterion.
             # A failed factorization keeps the previous value (NaN guard).
             kkt_raw = jnp.maximum(
-                jnp.max(jnp.abs(Qus_t), axis=(0, 1)),
+                jnp.max(jnp.abs(Qus_kkt), axis=(0, 1)),
                 jnp.maximum(gap_inf, viol_inf))
             kkt_new = jnp.where(step_bad | ~jnp.isfinite(kkt_raw),
                                 kkt, kkt_raw)
@@ -699,8 +714,16 @@ def make_batch_sqp(
                 tr_out = (tc, tk, tg)
             else:
                 tr_out = ()
+            if nc > 0:
+                # carry the MULTIPLIER mu = rho*y invariantly across the
+                # OSQP rho adaptation: y is the scaled dual, so rescale
+                y_scaled = y * (rho_b / rho_next)[None, None, :]
+                y_next = jnp.where(live[None, None, :], y_scaled, y_carry)
+            else:
+                y_next = y_carry
             return (xs_out, us_out, cost_out, kkt_out, conv_out, iters_out,
-                    qp_out, ks_out, Ks_out, reg_out, rho_out) + tr_out
+                    qp_out, ks_out, Ks_out, reg_out, rho_out,
+                    y_next) + tr_out
 
         cost0, _ = cost_and_gaps(x0s, xs, us, refs)
         init = (
@@ -713,6 +736,7 @@ def make_batch_sqp(
             jnp.zeros((T, B, nu, nt), dtype),
             jnp.full((B,), settings.reg_init, dtype),
             jnp.full((B,), float(settings.rho), dtype),
+            jnp.zeros((T + 1, max(nc, 1), B), dtype),  # ADMM dual carry
         )
         if trace:
             init = init + (
@@ -732,8 +756,8 @@ def make_batch_sqp(
 
         out = jax.lax.while_loop(loop_cond, iteration, init)
         (xs, us, cost, kkt, converged, iters, qp_total, ks, Ks, _reg,
-         _rho) = out[:11]
-        tr_final = out[11:]
+         _rho, _y) = out[:12]
+        tr_final = out[12:]
 
         # final feasibility report (node-parallel)
         fs = eval_gaps(x0s, xs, us, refs)

@@ -4,7 +4,9 @@
 // same compiled model arrays as the JAX kernels — the cross-language
 // validation oracle this project uses where the reference validated against
 // Pinocchio (SURVEY.md §4), and a host-side CPU fallback for environments
-// without an accelerator. Serial kinematic chains with revolute/prismatic
+// without an accelerator. Kinematic TREES (branched topologies: the forward
+// pass indexes parents, the backward pass accumulates forces to parents —
+// any topologically-ordered parent array works) with revolute/prismatic
 // joints (the model classes the URDF compiler emits).
 //
 // Conventions match agimus_controller_tpu/ops/spatial.py:

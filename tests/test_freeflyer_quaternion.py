@@ -183,6 +183,7 @@ def _solve_goal(model, params, x0, frame, goal_shift, T=30, iters=60):
     return sol, float(jnp.linalg.norm(p_end - goal_p))
 
 
+@pytest.mark.slow
 def test_goal_solve_from_singular_pitch():
     # base oriented at pitch = +pi/2 — exactly where the euler-chart state
     # breaks down; the quaternion state solves a goal-reaching OCP fine

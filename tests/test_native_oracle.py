@@ -10,6 +10,7 @@ the strictly convex OCP hard; their optima must agree regardless of path.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from agimus_controller_tpu.models.panda import PANDA_Q_READY, load_panda
 from agimus_controller_tpu.native.bindings import NativeFDDP
@@ -17,6 +18,9 @@ from agimus_controller_tpu.ocp.costs import build_cost_functions
 from agimus_controller_tpu.ocp.spec import CostItem, ProblemSpec, default_references
 from agimus_controller_tpu.ops import kinematics
 from agimus_controller_tpu.solver.fddp import SolverSettings, solve_fddp
+
+
+pytestmark = pytest.mark.slow  # full C++ oracle solve + JAX compile (VERDICT r03 #8: default tier budget)
 
 
 def test_jax_solve_matches_cpp_oracle():

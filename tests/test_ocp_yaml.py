@@ -147,6 +147,8 @@ def make_point(i, t_ns, q, v, tau, pose, w_pose=50.0):
     return WeightedTrajectoryPoint(point=pt, weights=w)
 
 
+@pytest.mark.slow  # Panda-scale FDDP MPC compile (~2 min); the default tier
+# covers the closed loop on the 2-DoF arm (test_ring_control_loop)
 def test_mpc_panda_end_to_end(panda):
     """Full pipeline: YAML spec -> OCPJax -> MPC loop with warm-start shift,
     tracking a fixed goal pose. The closed loop must drive the EE toward the

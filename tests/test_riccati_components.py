@@ -96,6 +96,7 @@ def test_backward_components_matches_dense():
     assert not np.any(np.asarray(bad))
 
 
+@pytest.mark.slow  # two full make_batch_fddp compiles: 22 min XLA:CPU (r03 VERDICT #8)
 def test_batch_fddp_component_vs_dense_backward():
     """Full solver: component-backward and dense-backward paths agree."""
     model, params = load_panda(dtype=np.float64)

@@ -72,7 +72,7 @@ def _spec():
             CostItem(name="state_reg", kind="state", weight=0.1, update=True),
             CostItem(name="ctrl", kind="control_grav", weight=1e-3),
             CostItem(name="goal", kind="frame_placement", weight=10.0,
-                     update=True, frame="tip"),
+                     update=True, frame="tip", publish_residual=True),
         ),
         terminal_costs=(
             CostItem(name="state_reg", kind="state", weight=0.1, update=True),
@@ -157,7 +157,7 @@ def loop(arm):
     ocp = OCPJax(
         model, params, spec,
         OCPParams(dt=DT, horizon_size=T, solver_iters=10, solver="sqp",
-                  max_solve_time=10.0,
+                  max_solve_time=10.0, use_debug_data=True,
                   # the lightweight 2-DoF arm's Qu scale sits below the
                   # reference's 1e-3 default; tighten so the solver iterates
                   termination_tolerance=1e-6),
@@ -210,6 +210,59 @@ def test_closed_loop_sqp_ring(arm, loop):
     bogus = [_mk_point(5000 + i, arm) for i in range(T + 1)]
     with pytest.raises(AssertionError, match="desync"):
         ocp.set_reference_weighted_trajectory(bogus)
+
+
+def test_per_tick_debug_streams(arm, loop):
+    """VERDICT r03 #5: with use_debug_data on, the TICK path fills named
+    reference/residual streams (YAML update/publish_residual flags), the
+    recorder/bags carry them, and the debugger consumes them without
+    re-evaluating."""
+    from agimus_controller_tpu.mpc.data import MPCDebugData
+    from agimus_controller_tpu.runtime.debugger import MPCDebugger
+    from agimus_controller_tpu.runtime.recorder import MPCRecorder
+
+    model, params, spec, (R0, p0), _ = arm
+    rt, buf, ocp, mpc = loop
+    assert rt.initialized  # ordered after the closed-loop test
+    dbg = mpc.mpc_debug_data.ocp
+    # references: every update=True cost published its reference stream
+    # ("ctrl" is update=False in this spec -> correctly absent)
+    assert set(dbg.references) == {"state_reg", "goal"}
+    assert dbg.references["goal"].shape == (T + 1, 3)
+    # the goal reference is the streamed EE target, not a neutral default
+    assert np.linalg.norm(dbg.references["goal"][0] - p0) > 1e-3
+    # residuals: only publish_residual=True costs ("goal"), evaluated along
+    # the solution -> 6-dim log6 frame-placement residual per running node
+    assert set(dbg.residuals) == {"goal"}
+    assert dbg.residuals["goal"].shape == (T, 6)
+    assert np.all(np.isfinite(dbg.residuals["goal"]))
+
+    # recorder + bag round trip of the named streams
+    rec = MPCRecorder()
+    rec.record(0, np.zeros(4), ocp.ocp_results, mpc.mpc_debug_data)
+    rec.record(10**7, np.zeros(4), ocp.ocp_results, mpc.mpc_debug_data)
+    data = rec.as_mpc_data()
+    assert data["goal_residuals"].shape == (2, T, 6)
+    assert data["goal_references"].shape == (2, T + 1, 3)
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as d:
+        bag = Path(d) / "run.mcap"
+        rec.save_bag(bag)
+        back = MPCRecorder.load_bag(bag)
+        np.testing.assert_allclose(back["goal_residuals"],
+                                   data["goal_residuals"])
+        np.testing.assert_allclose(back["goal_references"],
+                                   data["goal_references"])
+
+    # debugger consumes the tick streams with NO re-evaluation
+    streams = MPCDebugger.streams_from_tick(mpc.mpc_debug_data)
+    assert streams is not None
+    np.testing.assert_allclose(streams["residuals"]["goal"],
+                               dbg.residuals["goal"])
+    empty = MPCDebugger.streams_from_tick(MPCDebugData())
+    assert empty is None
 
 
 def test_fused_tick_matches_runtime_path(arm, loop):

@@ -69,6 +69,7 @@ def test_tiago_dynamics_identities():
                                atol=1e-9)
 
 
+@pytest.mark.slow
 def test_tiago_goal_reach_solve():
     """A short goal-reaching solve on the second robot converges and moves
     the tool toward the target (the Panda OCP stack is robot-generic)."""

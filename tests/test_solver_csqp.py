@@ -174,7 +174,11 @@ def test_csqp_panda_effort_limits(panda):
 
     sol_c = solve_csqp(
         cf, x0, refs, xs0, us0,
-        CSQPSettings(max_iters=60, max_qp_iters=300, eps_abs=1e-8, rho=1e-1),
+        # the honest KKT (r04) legitimately converges at the default 1e-3
+        # with ~1e-3 gaps; this test wants a tight solve, so tighten the
+        # termination tolerance to match its 1e-4 feasibility expectation
+        CSQPSettings(max_iters=60, max_qp_iters=300, eps_abs=1e-8, rho=1e-1,
+                     termination_tolerance=1e-5),
     )
     assert float(sol_c.gap_norm) < 1e-4
     assert float(jnp.max(jnp.abs(sol_c.us))) <= u_lim + 1e-5
