@@ -63,13 +63,17 @@ def _chain_latency(solver, x0s, refs, xs0, us0, k=40):
         axis=2), x0s.dtype)
 
     sol = solver(x0s, refs, xs0, us0)
-    jax.block_until_ready(sol.cost)
+    float(np.asarray(sol.cost[0]))
 
     def chain(n, s):
         t0 = time.perf_counter()
         for i in range(n):
             s = solver(x0_seq[i % (2 * k)], refs, s.xs, s.us)
-        jax.block_until_ready(s.cost)
+        # HOST READ, not block_until_ready: through the measurement tunnel
+        # ready events can fire at enqueue and under-measure by orders of
+        # magnitude (observed 0.24 ms "latency" on a 2 ms workload); a
+        # value read cannot complete before the computation
+        float(np.asarray(s.cost[0]))
         return time.perf_counter() - t0, s
 
     _, sol = chain(10, sol)  # settle into the warm-started regime
@@ -441,32 +445,40 @@ def main():
             "vs_baseline": round(solves_per_s / 100.0, 3),
         }
     )
+    # headline FIRST (so a driver timeout mid-extras still has a parseable
+    # line on stdout) and again LAST (the driver's last-line parse)
+    print(headline, flush=True)
     if mode == "batch" and os.environ.get("BENCH_EXTRA", "1") != "0":
         # secondary runtime-workload metrics (latency / csqp / runtime) as
-        # additional stdout JSON lines BEFORE the headline, so the driver's
-        # last-line parse still picks the frozen-protocol batch metric while
-        # the artifact tail records all of them (round-3 VERDICT #7). Each
-        # extra runs in its own process (own compile) under a hard timeout;
-        # a failed extra degrades to a stderr note, never kills the bench.
+        # additional stdout JSON lines (round-3 VERDICT #7). Each extra runs
+        # in its own process (own compile) under a per-extra timeout and a
+        # shared wall-clock budget; a failed extra degrades to a stderr
+        # note, never kills the bench.
         import subprocess
 
+        extras_t0 = time.perf_counter()
+        budget_s = float(os.environ.get("BENCH_EXTRA_BUDGET_S", "900"))
         for extra in ("latency", "csqp", "runtime"):
+            if time.perf_counter() - extras_t0 > budget_s:
+                print(f"extra[{extra}] skipped (extras budget exhausted)",
+                      file=sys.stderr)
+                continue
             env = dict(os.environ, BENCH_MODE=extra, BENCH_EXTRA="0")
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
-                    env=env, capture_output=True, text=True, timeout=900)
+                    env=env, capture_output=True, text=True, timeout=480)
                 lines = [ln for ln in out.stdout.strip().splitlines()
                          if ln.startswith("{")]
                 if out.returncode == 0 and lines:
-                    print(lines[-1])
+                    print(lines[-1], flush=True)
                 else:
                     print(f"extra[{extra}] failed rc={out.returncode}: "
                           f"{out.stderr.strip().splitlines()[-1:]}",
                           file=sys.stderr)
             except subprocess.TimeoutExpired:
                 print(f"extra[{extra}] timed out", file=sys.stderr)
-    print(headline)
+        print(headline)
 
 
 if __name__ == "__main__":
