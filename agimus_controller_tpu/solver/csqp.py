@@ -93,7 +93,7 @@ def solve_csqp(
             lambda x, u, t: cf.constraint_derivs(x, u, t, refs)
         )(xs[:-1], us, ts)
         u0 = jnp.zeros((nu,), dtype)
-        gT, lbT, ubT, GxT, _ = cf.constraint_derivs(xs[-1], u0, T - 1, refs)
+        gT, lbT, ubT, GxT, _ = cf.constraint_derivs(xs[-1], u0, T, refs)
         rmask = jnp.asarray(cf.terminal_constraint_row_mask)
         inf = jnp.asarray(jnp.inf, dtype)
         lbT = jnp.where(rmask, lbT, -inf)

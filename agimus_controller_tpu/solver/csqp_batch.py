@@ -33,6 +33,7 @@ from ..ocp.spec import ProblemSpec
 from ..ops.batched_costs import make_batched_cost_pack
 from ..ops.batched_dynamics import make_batched_step, make_batched_step_with_derivs
 from .csqp import CSQPSettings, CSQPSolution, _violation
+from .tuning import scan_unroll
 
 
 def make_batch_csqp(
@@ -182,7 +183,7 @@ def make_batch_csqp(
             lambda x, u, t: con_derivs_b(x, u, t, refs)
         )(xs[:-1], us, jnp.arange(T))
         u0 = jnp.zeros((B, nu), dtype)
-        gT, lbT, ubT, GxT, _ = con_derivs_b(xs[-1], u0, T - 1, refs)
+        gT, lbT, ubT, GxT, _ = con_derivs_b(xs[-1], u0, T, refs)
         rmask = jnp.asarray(cf.terminal_constraint_row_mask)
         inf = jnp.asarray(jnp.inf, dtype)
         lbT = jnp.where(rmask[None], lbT, -inf)
@@ -201,7 +202,7 @@ def make_batch_csqp(
             lambda x, u, t: con_vals_b(x, u, t, refs)
         )(xs[:-1], us, jnp.arange(T))
         u0 = jnp.zeros((B, nu), xs.dtype)
-        gT, lbT, ubT = con_vals_b(xs[-1], u0, T - 1, refs)
+        gT, lbT, ubT = con_vals_b(xs[-1], u0, T, refs)
         rmask = jnp.asarray(cf.terminal_constraint_row_mask)
         inf = jnp.asarray(jnp.inf, xs.dtype)
         lbT = jnp.where(rmask[None], lbT, -inf)
@@ -265,7 +266,7 @@ def make_batch_csqp(
                 VxxT = term[2]
                 inputs = (lxx, lxu, luu, Fx_all, Fu_all)
             _, (Ls, Ks, Vxx_next) = jax.lax.scan(
-                body, VxxT, inputs, reverse=True)
+                body, VxxT, inputs, reverse=True, unroll=scan_unroll(T))
             bad = ~(
                 jnp.all(jnp.isfinite(Ls.reshape(T, B, -1)), axis=(0, 2))
                 & jnp.all(jnp.isfinite(Ks.reshape(T, B, -1)), axis=(0, 2)))
@@ -300,7 +301,7 @@ def make_batch_csqp(
             _, (ks, Qus) = jax.lax.scan(
                 backward, rxT,
                 (rx, ru, Fx_all, Fu_all, fs[1:], Ls, Ks, Vxx_next),
-                reverse=True)
+                reverse=True, unroll=scan_unroll(T))
 
             def forward(dx, inp):
                 kk, K, Fx, Fu, f_next = inp
@@ -311,7 +312,8 @@ def make_batch_csqp(
                 return dx_next, (dx, du)
 
             dxT, (dxs, dus) = jax.lax.scan(
-                forward, fs[0], (ks, Ks, Fx_all, Fu_all, fs[1:]))
+                forward, fs[0], (ks, Ks, Fx_all, Fu_all, fs[1:]),
+                unroll=scan_unroll(T))
             dxs = jnp.concatenate([dxs, dxT[None]], axis=0)  # [T+1, B, nx]
             return dxs, dus, ks, Qus
 

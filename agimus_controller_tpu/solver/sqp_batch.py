@@ -45,6 +45,7 @@ from ..ocp.spec import ProblemSpec
 from ..ops.batched_costs import make_batched_cost_pack
 from ..ops.batched_dynamics import make_batched_step, make_batched_step_with_derivs
 from .csqp import CSQPSettings
+from .tuning import scan_unroll
 from .riccati_components import (
     _chol_lanes,
     _chol_solve_lanes,
@@ -313,7 +314,7 @@ def make_batch_sqp(
             lambda x, u, t: constraint_value_b(x, u, t, refs)
         )(xs[:-1], us, jnp.arange(T))
         u0 = jnp.zeros((B, nu), dtype)
-        gT, lbT, ubT = constraint_value_b(xs[-1], u0, T - 1, refs)
+        gT, lbT, ubT = constraint_value_b(xs[-1], u0, T, refs)
         rmask = jnp.asarray(cf.terminal_constraint_row_mask)
         inf = jnp.asarray(jnp.inf, dtype)
         lbT = jnp.where(rmask, lbT, -inf)
@@ -333,7 +334,7 @@ def make_batch_sqp(
             lambda x, u, t: constraint_b(x, u, t, refs)
         )(xs[:-1], us, jnp.arange(T))
         u0 = jnp.zeros((B, nu), dtype)
-        gT, lbT, ubT, GxT, _ = constraint_b(xs[-1], u0, T - 1, refs)
+        gT, lbT, ubT, GxT, _ = constraint_b(xs[-1], u0, T, refs)
         rmask = jnp.asarray(cf.terminal_constraint_row_mask)
         inf = jnp.asarray(jnp.inf, dtype)
         lbT = jnp.where(rmask, lbT, -inf)
@@ -372,7 +373,7 @@ def make_batch_sqp(
         _, (Ls, Ks, Vxx_next) = jax.lax.scan(
             body, vxx_term,
             (lxx_t, lxu_t, luu_t, Fx_t, Fu_t),
-            reverse=True)
+            reverse=True, unroll=scan_unroll(T))
         bad = ~(jnp.all(jnp.isfinite(Ls), axis=(0, 1, 2))
                 & jnp.all(jnp.isfinite(Ks), axis=(0, 1, 2)))
         return Ls, Ks, Vxx_next, bad
@@ -414,7 +415,7 @@ def make_batch_sqp(
         _, (ks_t, Qus_t) = jax.lax.scan(
             bwd, rxT,
             (rx_t, ru_t, Fx_t, Fu_t, fs_t[1:], Ls, Ks, Vxx_next),
-            reverse=True)
+            reverse=True, unroll=scan_unroll(T))
 
         def fwd(dx, inp):
             kk, KK, Fxn, Fun, fn = inp
@@ -423,7 +424,8 @@ def make_batch_sqp(
             return dx_next, (dx, du)
 
         dxT, (dxs_t, dus_t) = jax.lax.scan(
-            fwd, fs_t[0], (ks_t, Ks, Fx_t, Fu_t, fs_t[1:]))
+            fwd, fs_t[0], (ks_t, Ks, Fx_t, Fu_t, fs_t[1:]),
+            unroll=scan_unroll(T))
         dxs_t = jnp.concatenate([dxs_t, dxT[None]], axis=0)
         return dxs_t, dus_t, ks_t, Qus_t
 

@@ -90,6 +90,11 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # multi-process launches (AGIMUS_COORDINATOR / SLURM) wire the JAX
+    # distributed runtime here; single-chip runs are a no-op
+    from agimus_controller_tpu.parallel import initialize_distributed
+
+    initialize_distributed()
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_problem, _build_spec
