@@ -129,3 +129,62 @@ def test_smoke_batch_csqp_constrained(problem):
     sol = solver(x0s, refs, xs0, us0)
     _check(sol, xs0, us0)
     assert bool(jnp.all(jnp.abs(sol.us) <= 5.0 + 1e-6))
+
+
+def test_terminal_constraint_uses_refs_row_T(problem):
+    """The terminal node's constraint data must come from refs row T.
+
+    Regression pin for the r03 Weak-#8 fix: all solver call sites sliced
+    the terminal constraint at refs row T-1, so a streamed per-node
+    constraint reference was off by one at the last node (the terminal
+    COSTS always used row T, `ocp/costs.py::terminal_cost`). Here a
+    frame-translation band constraint gets reference point A on rows
+    0..T-1 and point B on row T; with the fix, the solved terminal EE
+    lands inside the band around B. With the old T-1 slice it stays at A
+    (|A - B| is ~2x the band width, so the two optima are disjoint).
+    """
+    model, params, spec, cf, refs, x0s, xs0, us0 = problem
+    fid = model.frame_id("tip")
+    qA = jnp.asarray(Q0)
+    _, pA = kinematics.frame_placement(model, params, qA, fid)
+    pB = pA + jnp.asarray([0.025, 0.0, -0.015])
+    band = 0.015
+
+    spec_c = ProblemSpec(
+        running_costs=(
+            CostItem(name="state_reg", kind="state", weight=1e-2,
+                     update=True),
+            CostItem(name="ctrl", kind="control_grav", weight=1e-3),
+        ),
+        terminal_costs=(
+            CostItem(name="state_reg", kind="state", weight=1e-2,
+                     update=True),
+        ),
+        constraints=(
+            ConstraintItem(name="ee_band", kind="frame_translation",
+                           frame="tip",
+                           lower=(-band,) * 3, upper=(band,) * 3),
+        ),
+        horizon=T,
+        dt=0.01,
+    )
+    cf_c = build_cost_functions(model, params, spec_c, dtype=jnp.float64)
+    refs_c = default_references(spec_c, model, dtype=jnp.float64)
+    refs_c["xref"] = refs["xref"]
+    # rows 0..T-1 -> A (start pose: running nodes already feasible);
+    # row T -> B (only the terminal node must move)
+    ee = jnp.tile(pA[None], (T + 1, 1)).at[T].set(pB)
+    refs_c["ee_trans:tip"] = ee
+
+    solver = jax.jit(make_batch_sqp(
+        model, params, spec_c, cf_c,
+        CSQPSettings(max_iters=20, max_qp_iters=50,
+                     termination_tolerance=1e-8)))
+    sol = solver(x0s, refs_c, xs0, us0)
+    qT = jnp.asarray(np.asarray(sol.xs)[0, -1, : model.nq])
+    _, pT = kinematics.frame_placement(model, params, qT, fid)
+    dB = float(jnp.linalg.norm(pT - pB))
+    dA = float(jnp.linalg.norm(pT - pA))
+    # inside (or a hair outside) the band around B, and clearly moved off A
+    assert dB < band * 1.5, f"terminal EE {dB:.4f} m from row-T ref B"
+    assert dA > dB, "terminal node still tracking the row T-1 reference"
