@@ -11,8 +11,14 @@ singularity).
 
 Supported cost kinds: "state" (tangent-space regularization), "control",
 "control_grav", "frame_placement", "frame_translation", "frame_rotation",
-"frame_velocity", "collision_distance".  Constraints: "control_limit",
-"collision_distance" (box semantics of `ocp/costs.py`).  Refs keys:
+"frame_velocity", "collision_distance", "visual_servoing" (composed
+wMo * oMf target, `ocp_croco_generic.py:436-495`), "force_tracking" (on
+the soft-contact augmented state).  Constraints: "control_limit",
+"collision_distance", "force_box" (box semantics of `ocp/costs.py`).
+Soft contact (`spec.soft_contact`): the state is force-augmented
+[p;quat;qj;v;f] with ntan = 2*nv + nc, the reference's
+DAMSoftContactAugmented over a free-flyer StateMultibody
+(`ocp_croco_generic_force_feedback.py:218-297`).  Refs keys:
 `xref [T+1, nq+nv]`, `w_x [T+1, ntan]`, `w_u [T+1, nu]`, `w_coll [T+1]`,
 `ee_rot:/ee_trans:/w_ee:/ee_vel:/w_ee_vel:<frame>` as in `ocp/costs.py`.
 
@@ -36,9 +42,9 @@ from .spec import ProblemSpec, make_timesteps
 FF_COST_KINDS = (
     "state", "control", "control_grav", "frame_placement",
     "frame_translation", "frame_rotation", "frame_velocity",
-    "collision_distance",
+    "collision_distance", "visual_servoing", "force_tracking",
 )
-FF_CONSTRAINT_KINDS = ("control_limit", "collision_distance")
+FF_CONSTRAINT_KINDS = ("control_limit", "collision_distance", "force_box")
 
 
 def build_ff_cost_functions(
@@ -57,11 +63,28 @@ def build_ff_cost_functions(
         raise ValueError(actuation)
     timesteps = make_timesteps(spec, dtype)
     nv = model.nj
-    ntan = 2 * nv
     under = actuation == "floating_base"
     nu = nv - lie.N_FF if under else nv
-    sdiff = lie.state_difference(model)
-    sint = lie.state_integrate(model)
+    # soft contact: the state is force-augmented x = [p;quat;qj;v;f]
+    # (reference: DAMSoftContactAugmented composed with a free-flyer
+    # StateMultibody, `ocp_croco_generic_force_feedback.py:218-297`)
+    sc = spec.soft_contact
+    nf = sc.nc if sc is not None else 0
+    nxr = (model.nj - lie.N_FF) + 7 + nv  # rigid (quaternion) ambient dim
+    ntan_r = 2 * nv
+    ntan = ntan_r + nf
+    sdiff_r = lie.state_difference(model)
+    sint_r = lie.state_integrate(model)
+    if sc is None:
+        sdiff, sint = sdiff_r, sint_r
+    else:
+        def sdiff(x1, x0):
+            return jnp.concatenate(
+                [sdiff_r(x1[:nxr], x0[:nxr]), x1[nxr:] - x0[nxr:]])
+
+        def sint(x, dx):
+            return jnp.concatenate(
+                [sint_r(x[:nxr], dx[:ntan_r]), x[nxr:] + dx[ntan_r:]])
 
     def tau_full(u):
         """Actuation map: the floating base takes no direct wrench
@@ -71,11 +94,18 @@ def build_ff_cost_functions(
         return u
 
     def step(x, u, t, refs):
+        if sc is not None:
+            from ..ops.soft_contact import ff_soft_contact_step
+
+            active = refs["contact_active"][t]
+            return ff_soft_contact_step(
+                model, params, sc, x, tau_full(u), timesteps[t], active)
         return lie.ff_step(model, params, x, tau_full(u), timesteps[t])
 
     def _chart(xp):
-        """(recentered params, chart q, v) at a perturbed global state."""
-        p, quat, qj, v = lie.split_state(model, xp)
+        """(recentered params, chart q, v) at a perturbed global state
+        (force tail, when augmented, is ignored here)."""
+        p, quat, qj, v = lie.split_state(model, xp[:nxr])
         pr = lie.recenter_params(model, params, p, quat)
         return pr, lie.chart_q(model, qj), v
 
@@ -133,6 +163,18 @@ def build_ff_cost_functions(
                         model, pr, xc, pair)
 
                 out.append((wgt, r_coll, jnp.ones((1,), dtype), False))
+            elif item.kind == "force_tracking":
+                # r = f - f_des on the augmented tail (reference
+                # `dam.f_des/f_weight`,
+                # `ocp_croco_generic_force_feedback.py:141-150`)
+                fdes = refs["f_des"][t]
+                w = (refs["w_force"][t] if item.update
+                     else jnp.ones((nf,), dtype))
+
+                def r_ft(dx, x=x, fdes=fdes):
+                    return sint(x, dx)[nxr:] - fdes
+
+                out.append((item.weight, r_ft, w, False))
             elif item.kind == "frame_velocity":
                 fid = model.frame_id(item.frame)
                 vref = refs[f"ee_vel:{item.frame}"][t]
@@ -147,11 +189,25 @@ def build_ff_cost_functions(
                         model, pr, xc, fid, vref, rframe)
 
                 out.append((item.weight, r_fv, w, False))
-            else:  # frame placement / translation / rotation
+            else:  # frame placement / translation / rotation / servoing
                 fid = model.frame_id(item.frame)
                 refR = refs[f"ee_rot:{item.frame}"][t]
                 refp = refs[f"ee_trans:{item.frame}"][t]
                 kind = item.kind
+                if kind == "visual_servoing":
+                    # composed target wMf = wMo_vision * oMf_ref
+                    # (`ResidualModelVisualServoing`,
+                    # `ocp_croco_generic.py:436-495`); then identical to a
+                    # frame-placement residual on the manifold state
+                    wR = refs[f"wMo_rot:{item.object_frame}"]
+                    wt = refs[f"wMo_trans:{item.object_frame}"]
+                    # the vision transform may be streamed per node
+                    # ([T+1,3,3]) or held constant ([3,3], the OCPJax
+                    # `set_transform` convention)
+                    if wR.ndim == 3:
+                        wR, wt = wR[t], wt[t]
+                    refR, refp = spatial.se3_mul((wR, wt), (refR, refp))
+                    kind = "frame_placement"
                 nr = {"frame_placement": 6, "frame_translation": 3,
                       "frame_rotation": 3}[kind]
                 if item.update:
@@ -259,7 +315,11 @@ def build_ff_cost_functions(
     c_items = spec.constraints
 
     def _con_dim(c):
-        return nu if c.kind == "control_limit" else 1
+        if c.kind == "control_limit":
+            return nu
+        if c.kind == "force_box":
+            return nf
+        return 1
 
     n_con = sum(_con_dim(c) for c in c_items)
     term_mask = tuple(c.terminal for c in c_items)
@@ -270,6 +330,17 @@ def build_ff_cost_functions(
         if c.kind == "control_limit":
             lim = jnp.asarray(params.effort_limit, dtype)[-nu:]
             return -lim, lim
+        if c.kind == "force_box":
+            # IAMSoftContactAugmented force bounds
+            # (`ocp_croco_generic_force_feedback.py:191-215`)
+            lo = (jnp.asarray(c.lower, dtype) if c.lower
+                  else jnp.asarray(sc.force_lb, dtype) if sc.force_lb
+                  else jnp.full((nf,), -jnp.inf, dtype))
+            hi = (jnp.asarray(c.upper, dtype) if c.upper
+                  else jnp.asarray(sc.force_ub, dtype) if sc.force_ub
+                  else jnp.full((nf,), jnp.inf, dtype))
+            return (jnp.broadcast_to(lo, (nf,)),
+                    jnp.broadcast_to(hi, (nf,)))
         lo = (jnp.asarray(c.lower, dtype) if c.lower
               else jnp.full((1,), -jnp.inf, dtype))
         hi = (jnp.asarray(c.upper, dtype) if c.upper
@@ -279,6 +350,8 @@ def build_ff_cost_functions(
     def _con_residual(c, x, u, dx, du):
         if c.kind == "control_limit":
             return u + du
+        if c.kind == "force_box":
+            return sint(x, dx)[nxr:]
         pr, qc, v = _chart(sint(x, dx))
         xc = jnp.concatenate([qc, v])
         return residuals.collision_distance_residual(model, pr, xc, c.pair_id)

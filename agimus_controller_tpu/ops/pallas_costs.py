@@ -538,7 +538,11 @@ def make_pallas_stage(model: RobotModel, params: ModelParams,
         refs_cl = refs_cl.reshape(refs_cl.shape[0], R, LANES)
 
         blk = lambda c: pl.BlockSpec(
-            (c, SUBLANES, LANES), lambda i: (0, i, 0),
+            (c, SUBLANES, LANES),
+            # literal 0 must stay i32: under jax x64 a Python-int
+            # index-map return becomes i64 and Mosaic fails to
+            # legalize 'func.return' (i64, i32, i64)
+            lambda i: (jnp.int32(0), i, jnp.int32(0)),
             memory_space=pltpu.VMEM)
         sds = lambda c: jax.ShapeDtypeStruct((c, R, LANES), dtype)
         if derivs:
@@ -551,14 +555,20 @@ def make_pallas_stage(model: RobotModel, params: ModelParams,
         else:
             out_shape = (sds(nx), sds(1))
             out_specs = (blk(nx), blk(1))
-        outs = pl.pallas_call(
-            kernel,
-            grid=(R // SUBLANES,),
-            out_shape=out_shape,
-            in_specs=[blk(nx), blk(nj), blk(1), blk(refs_cl.shape[0])],
-            out_specs=out_specs,
-            interpret=interpret,
-        )(x_cl, u_cl, dt_cl, refs_cl)
+        # trace the kernel with x64 OFF: all kernel data is f32, but under
+        # jax x64 some trace-time literals widen to 64-bit vectors and
+        # Mosaic hard-aborts ("Check failed: bitwidth_ <= 32",
+        # VectorLayoutInferer) — seen when the csqp bench enables x64 for
+        # the f64 sweep accumulation
+        with jax.enable_x64(False):
+            outs = pl.pallas_call(
+                kernel,
+                grid=(R // SUBLANES,),
+                out_shape=out_shape,
+                in_specs=[blk(nx), blk(nj), blk(1), blk(refs_cl.shape[0])],
+                out_specs=out_specs,
+                interpret=interpret,
+            )(x_cl, u_cl, dt_cl, refs_cl)
 
         def back(arr_cl, shape):
             flat = arr_cl.reshape(arr_cl.shape[0], N_pad)[:, :N]
@@ -648,7 +658,11 @@ def make_pallas_terminal(model: RobotModel, params: ModelParams,
         refs_cl = refs_cl.reshape(refs_cl.shape[0], R, LANES)
 
         blk = lambda c: pl.BlockSpec(
-            (c, SUBLANES, LANES), lambda i: (0, i, 0),
+            (c, SUBLANES, LANES),
+            # literal 0 must stay i32: under jax x64 a Python-int
+            # index-map return becomes i64 and Mosaic fails to
+            # legalize 'func.return' (i64, i32, i64)
+            lambda i: (jnp.int32(0), i, jnp.int32(0)),
             memory_space=pltpu.VMEM)
         sds = lambda c: jax.ShapeDtypeStruct((c, R, LANES), dtype)
         if derivs:
@@ -657,14 +671,16 @@ def make_pallas_terminal(model: RobotModel, params: ModelParams,
         else:
             out_shape = (sds(1),)
             out_specs = (blk(1),)
-        outs = pl.pallas_call(
-            kernel,
-            grid=(R // SUBLANES,),
-            out_shape=out_shape,
-            in_specs=[blk(nx), blk(refs_cl.shape[0])],
-            out_specs=out_specs,
-            interpret=interpret,
-        )(x_cl, refs_cl)
+        # x64 OFF during kernel trace — see the stage kernel's note
+        with jax.enable_x64(False):
+            outs = pl.pallas_call(
+                kernel,
+                grid=(R // SUBLANES,),
+                out_shape=out_shape,
+                in_specs=[blk(nx), blk(refs_cl.shape[0])],
+                out_specs=out_specs,
+                interpret=interpret,
+            )(x_cl, refs_cl)
         l = outs[0].reshape(N_pad)[:N]
         if not derivs:
             return (l,)

@@ -185,7 +185,11 @@ def _build(model: RobotModel, params: ModelParams, with_derivs: bool,
         R = x_cl.shape[1]
         grid = R // SUBLANES
         blk = lambda c: pl.BlockSpec(
-            (c, SUBLANES, LANES), lambda i: (0, i, 0),
+            (c, SUBLANES, LANES),
+            # literal 0 must stay i32: under jax x64 a Python-int
+            # index-map return becomes i64 and Mosaic fails to
+            # legalize 'func.return' (i64, i32, i64)
+            lambda i: (jnp.int32(0), i, jnp.int32(0)),
             memory_space=pltpu.VMEM)
         if with_derivs:
             out_shape = (
@@ -197,14 +201,18 @@ def _build(model: RobotModel, params: ModelParams, with_derivs: bool,
         else:
             out_shape = jax.ShapeDtypeStruct((nx, R, LANES), x_cl.dtype)
             out_specs = blk(nx)
-        return pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            out_shape=out_shape,
-            in_specs=[blk(nx), blk(nj), blk(1)],
-            out_specs=out_specs,
-            interpret=interpret,
-        )(x_cl, u_cl, dt_cl)
+        # x64 OFF during kernel trace: all kernel data is f32, and under
+        # jax x64 trace-time 64-bit literals/vectors crash Mosaic
+        # ("Check failed: bitwidth_ <= 32")
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                out_shape=out_shape,
+                in_specs=[blk(nx), blk(nj), blk(1)],
+                out_specs=out_specs,
+                interpret=interpret,
+            )(x_cl, u_cl, dt_cl)
 
     def to_cl(arr, n_comp, N_pad):
         # [N, n_comp] -> [n_comp, R, 128] with zero padding

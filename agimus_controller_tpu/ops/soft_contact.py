@@ -98,3 +98,60 @@ def soft_contact_step(model: RobotModel, params: ModelParams,
     q_next = q + v_next * dt
     f_next = f + f_dot * dt
     return jnp.concatenate([q_next, v_next, f_next])
+
+
+# ----------------------------------------------------------------------
+# quaternion free-flyer variants (manifold state + force augmentation —
+# the reference composes DAMSoftContactAugmented with a StateMultibody
+# free-flyer model, `ocp_croco_generic_force_feedback.py:218-297`)
+# ----------------------------------------------------------------------
+def ff_soft_contact_dynamics(model: RobotModel, params: ModelParams,
+                             sc: SoftContactConfig, x, u, active=1.0):
+    """(a [nv], f_dot [nc]) on the free-flyer augmented state
+    x = [p(3); quat(4); qj; v(nv); f(nc)].
+
+    Dynamics are evaluated on the chart re-centered at the current base
+    pose (`ops/lie.py::ff_step` convention); ``u`` is the FULL nv torque
+    (already through the actuation map)."""
+    from . import lie
+
+    nv = model.nj
+    nxr = (model.nj - lie.N_FF) + 7 + nv  # rigid (quaternion) ambient dim
+    xr, f = x[:nxr], x[nxr:]
+    p, quat, qj, v = lie.split_state(model, xr)
+    pr = lie.recenter_params(model, params, p, quat)
+    qc = lie.chart_q(model, qj)
+    idx = jnp.asarray(sc.mask_indices())
+    f3 = jnp.zeros(3, x.dtype).at[idx].set(f) * active
+    J_lin, _ = _contact_kinematics(model, pr, sc, qc, v)
+    tau_total = u + J_lin.T @ f3
+    a = dynamics.forward_dynamics(model, pr, qc, v, tau_total)
+    # contact-point accel in sc.ref frame: d/dt (J v) along (v, a); at the
+    # chart center the chart velocity equals v (same assumption ff_step
+    # makes for the configuration update)
+    vc_of = lambda qq, vv: _contact_kinematics(model, pr, sc, qq, vv)[1]
+    _, vc_dot_q = jax.jvp(lambda qq: vc_of(qq, v), (qc,), (v,))
+    a_c = vc_dot_q + J_lin @ a
+    v_c = vc_of(qc, v)
+    Kp = jnp.asarray(sc.Kp, x.dtype)[idx]
+    Kv = jnp.asarray(sc.Kv, x.dtype)[idx]
+    f_dot = active * (-Kp * v_c[idx] - Kv * a_c[idx])
+    return a, f_dot
+
+
+def ff_soft_contact_step(model: RobotModel, params: ModelParams,
+                         sc: SoftContactConfig, x, u, dt, active=1.0):
+    """Semi-implicit Euler on the free-flyer augmented state: velocity and
+    force integrate additively, the configuration through the singularity-
+    free retraction (`lie.q_integrate`)."""
+    from . import lie
+
+    nv = model.nj
+    nxr = (model.nj - lie.N_FF) + 7 + nv
+    xr, f = x[:nxr], x[nxr:]
+    p, quat, qj, v = lie.split_state(model, xr)
+    a, f_dot = ff_soft_contact_dynamics(model, params, sc, x, u, active)
+    v_new = v + dt * a
+    p2, quat2, qj2 = lie.q_integrate(model, p, quat, qj, dt * v_new)
+    return jnp.concatenate(
+        [lie.join_state(p2, quat2, qj2, v_new), f + dt * f_dot])

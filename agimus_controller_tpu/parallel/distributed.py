@@ -137,6 +137,13 @@ def make_global_mesh(
             f"t_shards={t_shards} exceeds the {per_proc} devices per "
             "process — the horizon-sharded Riccati's collectives would "
             "cross DCN; shard the horizon within one host's slice only")
+    if per_proc % t_shards != 0:
+        # e.g. 2 hosts x 6 devices with t_shards=4: rows would straddle
+        # host boundaries, silently putting Riccati collectives on DCN
+        raise ValueError(
+            f"t_shards={t_shards} does not divide the {per_proc} devices "
+            "per process — a t-group row would span two hosts and the "
+            "Riccati collectives would cross DCN")
     # jax.devices() orders by process then local id, so a C-order reshape
     # puts each process's devices in contiguous rows -> every t-group is
     # intra-host.
@@ -149,17 +156,37 @@ def host_local_to_global(mesh: Mesh, local_arrays,
     """Assemble per-process scenario shards into global sharded arrays.
 
     Each process passes its OWN scenarios (leading axis = local batch);
-    the result is one global jax.Array of batch size ``sum(local)`` laid
-    out along ``axis_name`` with zero cross-host traffic (each shard is
-    placed from the process that produced it) — the multi-host analog of
-    `parallel.mesh.shard_batch`.
+    the result is one global jax.Array of batch size
+    ``local * process_count`` laid out along ``axis_name`` with zero
+    cross-host traffic (each shard is placed from the process that
+    produced it) — the multi-host analog of `parallel.mesh.shard_batch`.
+
+    Every process MUST pass the SAME local batch size (asserted via the
+    coordination service by `make_array_from_process_local_data`'s shape
+    check): the global shape is derived as ``local * process_count``, so
+    uneven shards would disagree across processes.
     """
     sharding = NamedSharding(mesh, P(axis_name))
+
+    checked_sizes: set = set()
 
     def place(a):
         a = np.asarray(a)
         if getattr(jax, "process_count", lambda: 1)() == 1:
             return jax.device_put(a, sharding)
+        if a.shape[0] not in checked_sizes:
+            # one cheap cross-host check per distinct local size: uneven
+            # shards would give each process a different global_shape and
+            # fail later with an opaque layout error
+            from jax.experimental import multihost_utils
+
+            sizes = np.asarray(
+                multihost_utils.process_allgather(np.int64(a.shape[0])))
+            if not (sizes == sizes.flat[0]).all():
+                raise ValueError(
+                    f"host_local_to_global requires equal local batch "
+                    f"sizes on every process; got {sizes.tolist()}")
+            checked_sizes.add(a.shape[0])
         global_shape = (a.shape[0] * jax.process_count(),) + a.shape[1:]
         return jax.make_array_from_process_local_data(
             sharding, a, global_shape)

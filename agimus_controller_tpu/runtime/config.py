@@ -77,6 +77,13 @@ def load_engine_config(source: Union[str, Path, dict]) -> EngineConfig:
     n_threads = int(_leaf(ocp_t.get("n_threads"), 1))
     if n_threads <= 0:
         raise ValueError("n_threads must be > 0")
+    # solver backend knob (not in the reference's schema — its runtime
+    # solver is fixed to mim_solvers CSQP, `ocp_base_croco.py:64-80`; here
+    # "auto" resolves to the batch-native latency SQP, VERDICT r04 #2)
+    solver = str(_leaf(ocp_t.get("solver"), "auto"))
+    if solver not in ("auto", "sqp", "csqp", "fddp"):
+        raise ValueError(
+            f"ocp.solver must be one of auto/sqp/csqp/fddp, got {solver!r}")
     ocp = OCPParams(
         dt=float(_leaf(ocp_t.get("dt"), 0.01)),
         horizon_size=horizon,
@@ -86,6 +93,7 @@ def load_engine_config(source: Union[str, Path, dict]) -> EngineConfig:
         termination_tolerance=float(_leaf(ocp_t.get("termination_tolerance"), 1e-3)),
         max_solve_time=float(_leaf(ocp_t.get("max_solve_time"), 0.1)),
         n_threads=n_threads,
+        solver=solver,
     )
     runtime = RuntimeParams(
         rate=float(_leaf(tree.get("rate"), 100.0)),

@@ -43,6 +43,24 @@ class CSQPSettings(SolverSettings):
     # OSQP-style per-scenario rho adaptation between SQP iterations
     # (mim_solvers adapts rho the same way); batch solver only
     adaptive_rho: bool = True
+    # f64 accumulation in the Riccati factorization / QP vector sweeps /
+    # KKT evaluation and line-search cost sums when the trajectory dtype
+    # is f32. Engages only when jax x64 is enabled (otherwise f64
+    # canonicalizes to f32 and this is inert); batch sqp solver only.
+    # Default OFF: measured on the chained T=100 collision bench (r05),
+    # promoting the sweeps alone does NOT move the ~1e-3 stall (the floor
+    # is the f32 STAGE data — f64-everything converges in p50 2
+    # iterations, f64 sweeps over f32 stages change nothing) and costs
+    # ~2.5x throughput under x64 on the chip. Kept as an honest knob for
+    # f64-capable deployments.
+    sweep_f64: bool = False
+    # Second-order (Maratos) correction: after the ADMM step, re-evaluate
+    # the NONLINEAR constraints at the trial point and re-run this many
+    # warm-started ADMM iterations against curvature-shifted bounds. The
+    # bench's keep-away optimum RIDES a curved boundary (goal inside the
+    # band), where plain linearization leaves O(|step|^2 * curvature)
+    # intrusion (~1.4-3.5 mm of a 20 mm band measured); SOC repairs it.
+    soc_iters: int = 4
 
 
 class CSQPSolution(NamedTuple):

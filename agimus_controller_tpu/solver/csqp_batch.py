@@ -52,7 +52,8 @@ def make_batch_csqp(
     # (VERDICT r03 #2): tangent-dim blocks, sdiff/sint for gaps/updates
     manifold = cf.ntan is not None
     if manifold:
-        assert not soft, "manifold + soft contact not supported yet"
+        # manifold + soft contact composes: the ff cost pack's step/diff/
+        # integrate carry the force-augmented state (ocp/ff_costs.py)
         step_b = step_d = None
     elif soft:
         from ..ops.batched_dynamics import (

@@ -68,6 +68,14 @@ class BatchSQPSolution(NamedTuple):
     iters: jnp.ndarray  # [B]
     qp_iters: jnp.ndarray  # [B]
     converged: jnp.ndarray  # [B]
+    # final scaled ADMM duals [B, T+1, nc] (zeros-shaped [B, T+1, 1] when
+    # unconstrained). Feed back as `y0` on the NEXT warm-started MPC tick:
+    # the previous optimum sits ON the active constraint boundary, and
+    # restarting the duals from zero there makes the ADMM re-discover the
+    # active set every tick (measured: 40% convergence over a drifting
+    # chain at max_iters=100 vs ~100% warm — mim_solvers warm-starts its
+    # QP duals the same way across solves).
+    y: Optional[jnp.ndarray] = None
     # per-iteration telemetry (CallbackVerbose/CallbackLogger analog,
     # reference `ocp_base_croco.py:77-80`): populated when the solver is
     # built with `trace=True`, NaN-padded past each scenario's last iteration
@@ -78,6 +86,16 @@ class BatchSQPSolution(NamedTuple):
 
 def _violation(g, lb, ub):
     return jnp.maximum(jnp.maximum(lb - g, g - ub), 0.0)
+
+
+def _sweep_dtype(dtype, settings):
+    """Working dtype for the Riccati/ADMM sweeps and the line-search
+    accumulations: f64 when the trajectories are f32 and sweep_f64 is on
+    (inert without jax x64 — f64 would canonicalize back to f32)."""
+    if (settings.sweep_f64 and dtype == jnp.dtype(jnp.float32)
+            and jax.config.jax_enable_x64):
+        return jnp.float64
+    return dtype
 
 
 def make_batch_sqp(
@@ -111,7 +129,8 @@ def make_batch_sqp(
     # threaded through the batch solver (VERDICT r03 #2).
     manifold = cf.ntan is not None
     if manifold:
-        assert not soft, "manifold + soft contact not supported yet"
+        # manifold + soft contact composes: the ff cost pack's step/diff/
+        # integrate already carry the force-augmented state (ff_costs.py)
         backend = "manifold"
     if backend == "auto":
         backend = ("pallas"
@@ -236,20 +255,30 @@ def make_batch_sqp(
 
     def cost_and_gaps(x0s, xs, us, refs):
         """(total cost [B], defects fs [T+1,B,ntan]) — the line-search merit
-        terms. On the pallas backend both come from ONE fused dispatch."""
+        terms. On the pallas backend both come from ONE fused dispatch.
+
+        The cost SUM accumulates in the sweep dtype (f64 when sweep_f64 is
+        live): near the optimum the per-step descent is O(kkt^2) ~ 1e-7 of
+        a ~0.1 total — below f32 summation resolution, so f32 acceptance
+        tests go blind and the filter line search limit-cycles (observed:
+        T=100 chained CSQP oscillating at kkt ~1e-3 with every alpha
+        rejected for stretches)."""
         B = xs.shape[1]
         nx = xs.shape[2]
+        cdt = _sweep_dtype(xs.dtype, settings)
         x_flat, u_flat, dts_flat, t_idx = _flatten_nodes(xs, us)
         if stage_vk is not None:
             xnext_f, l_f = stage_vk(x_flat, u_flat, dts_flat, t_idx, refs)
             (lT,) = term_vk(xs[-1], refs)
-            cost = jnp.sum(l_f.reshape(T, B), axis=0) + lT
+            cost = (jnp.sum(l_f.reshape(T, B).astype(cdt), axis=0)
+                    + lT.astype(cdt))
             xnext = xnext_f.reshape(T, B, nx)
         else:
             costs = jax.vmap(
                 lambda x, u, t: stage_cost_b(x, u, t, refs)
-            )(xs[:-1], us, jnp.arange(T))
-            cost = jnp.sum(costs, axis=0) + term_cost_b(xs[-1], refs)
+            )(xs[:-1], us, jnp.arange(T, dtype=jnp.int32))
+            cost = (jnp.sum(costs.astype(cdt), axis=0)
+                    + term_cost_b(xs[-1], refs).astype(cdt))
             if manifold:
                 xnext = jax.vmap(
                     lambda x, u, t: cf.step(x, u, t, refs)
@@ -301,7 +330,7 @@ def make_batch_sqp(
         )
         costs = jax.vmap(
             lambda x, u, t: cost_derivs_b(x, u, t, refs)
-        )(xs[:-1], us, jnp.arange(T))
+        )(xs[:-1], us, jnp.arange(T, dtype=jnp.int32))
         term = term_derivs_b(xs[-1], refs)
         return dyn, costs, term
 
@@ -312,7 +341,7 @@ def make_batch_sqp(
         dtype = xs.dtype
         g, lb, ub = jax.vmap(
             lambda x, u, t: constraint_value_b(x, u, t, refs)
-        )(xs[:-1], us, jnp.arange(T))
+        )(xs[:-1], us, jnp.arange(T, dtype=jnp.int32))
         u0 = jnp.zeros((B, nu), dtype)
         gT, lbT, ubT = constraint_value_b(xs[-1], u0, T, refs)
         rmask = jnp.asarray(cf.terminal_constraint_row_mask)
@@ -332,7 +361,7 @@ def make_batch_sqp(
         dtype = xs.dtype
         g, lb, ub, Gx, Gu = jax.vmap(
             lambda x, u, t: constraint_b(x, u, t, refs)
-        )(xs[:-1], us, jnp.arange(T))
+        )(xs[:-1], us, jnp.arange(T, dtype=jnp.int32))
         u0 = jnp.zeros((B, nu), dtype)
         gT, lbT, ubT, GxT, _ = constraint_b(xs[-1], u0, T, refs)
         rmask = jnp.asarray(cf.terminal_constraint_row_mask)
@@ -436,18 +465,34 @@ def make_batch_sqp(
     # so a warm-started tick costs ONE trial evaluation)
     # ------------------------------------------------------------------
     def trial_infeas(x0s, xs_t, us_t, refs):
+        """(cost, gap+viol L1, viol_inf) of a trial trajectory."""
         cost_t, fs_t = cost_and_gaps(x0s, xs_t, us_t, refs)
-        gap = jnp.sum(jnp.abs(fs_t), axis=(0, 2))  # L1, mim-solvers
+        cdt = cost_t.dtype  # sweep dtype: f32 sums go blind near optimum
+        gap = jnp.sum(jnp.abs(fs_t).astype(cdt), axis=(0, 2))  # L1
         if nc > 0:
             g, lb, ub = constraint_vals(xs_t, us_t, refs)
-            gap = gap + jnp.sum(_violation(g, lb, ub), axis=(0, 2))
-        return cost_t, gap
+            v = _violation(g, lb, ub)
+            viol_inf = jnp.max(v, axis=(0, 2))
+            gap = gap + jnp.sum(v.astype(cdt), axis=(0, 2))
+        else:
+            viol_inf = jnp.zeros(cost_t.shape, xs_t.dtype)
+        return cost_t, gap, viol_inf
 
-    def line_search(x0s, xs, us, dxs, dus, refs, cost, infeas0, skip):
-        """Returns (accepted [B], xs_new, us_new, cost_new)."""
+    def line_search(x0s, xs, us, dxs, dus, refs, cost, infeas0, viol0,
+                    skip):
+        """Returns (accepted [B], xs_new, us_new, cost_new).
+
+        Filter acceptance with a CONSTRAINT ENVELOPE on the cost branch:
+        a cost-improving step is only accepted while the trial's max
+        constraint violation stays within max(current, tol) — without the
+        envelope the filter limit-cycles on boundary-riding optima
+        (cost-branch steps dig into the band, feasibility-branch steps
+        climb back out; measured 1.5-3.5 mm residual violation on the
+        chained keep-away bench)."""
         B = xs.shape[1]
         dtype = xs.dtype
         alphas = jnp.asarray(alphas_np, dtype)
+        vtol = jnp.asarray(settings.termination_tolerance, dtype)
 
         def cond(st):
             i, done = st[0], st[1]
@@ -458,9 +503,15 @@ def make_batch_sqp(
             alpha = alphas[i]
             xs_t = sint_tb(xs, alpha * dxs)  # retraction (manifold-safe)
             us_t = us + alpha * dus
-            cost_t, infeas_t = trial_infeas(x0s, xs_t, us_t, refs)
+            cost_t, infeas_t, viol_t = trial_infeas(x0s, xs_t, us_t, refs)
             finite = jnp.isfinite(cost_t) & jnp.isfinite(infeas_t)
-            accept = finite & (
+            # the envelope never blocks REPAIR steps (they reduce viol and
+            # pass trivially); it only rejects steps that trade constraint
+            # violation for cost/gap progress. A scenario with no
+            # admissible alpha holds its feasible iterate this iteration —
+            # the safe choice for a physical robot.
+            envelope = viol_t <= jnp.maximum(viol0, vtol)
+            accept = finite & envelope & (
                 (cost_t < cost) | (infeas_t < infeas0 * (1.0 - 1e-8)))
             take = accept & ~done
             xs_b = jnp.where(take[None, :, None], xs_t, xs_b)
@@ -474,13 +525,18 @@ def make_batch_sqp(
         return took, xs_b, us_b, cost_b
 
     # ------------------------------------------------------------------
-    def solve(x0s, refs, xs_in, us_in, max_iters=None) -> BatchSQPSolution:
+    def solve(x0s, refs, xs_in, us_in, max_iters=None,
+              y0=None) -> BatchSQPSolution:
         """``max_iters``: optional RUNTIME iteration limit (int or scalar
         array). Lets one compiled program serve the reference's unlimited
         first solve, the per-tick budget, and the `max_solve_time` cap
         (`ocp_base_croco.py:160-171`) without recompiling. Defaults to the
         static ``settings.max_iters``; with ``trace=True`` the telemetry
-        buffers stay sized by the static value (iterations past it drop)."""
+        buffers stay sized by the static value (iterations past it drop).
+
+        ``y0`` [B, T+1, nc]: scaled ADMM duals to warm-start from —
+        normally the previous tick's `solution.y` (MPC dual warm start
+        across solves). Default zeros (cold)."""
         limit = jnp.asarray(
             settings.max_iters if max_iters is None else max_iters, jnp.int32)
         xs = jnp.swapaxes(xs_in, 0, 1)  # [T+1, B, nx] time-major
@@ -490,6 +546,10 @@ def make_batch_sqp(
         nt = cf.ntan if manifold else nx  # tangent dim of steps/gains
         nu = us.shape[2]
         dtype = xs.dtype
+        # sweep working dtype: f64 accumulation for the tiny per-node
+        # recursions when the trajectory runs f32 (inert when x64 is off —
+        # f64 would canonicalize back to f32 anyway)
+        wdt = _sweep_dtype(dtype, settings)
         eps_abs = jnp.asarray(settings.eps_abs, dtype)
         eps_rel = jnp.asarray(settings.eps_rel, dtype)
 
@@ -501,50 +561,60 @@ def make_batch_sqp(
             xnext, Fx, Fu = dyn
             l, lx, lu, lxx, lxu, luu = costs
             fs = _gaps_of(x0s, xs, xnext)
-            gap_l1 = jnp.sum(jnp.abs(fs), axis=(0, 2))  # [B]
+            gap_l1 = jnp.sum(jnp.abs(fs).astype(wdt), axis=(0, 2))  # [B]
             gap_inf = jnp.max(jnp.abs(fs), axis=(0, 2))
 
-            # batch-minor relayout (once per iteration)
-            Fx_t = jnp.transpose(Fx, (0, 2, 3, 1))
-            Fu_t = jnp.transpose(Fu, (0, 2, 3, 1))
-            lx_t = jnp.transpose(lx, (0, 2, 1))
-            lu_t = jnp.transpose(lu, (0, 2, 1))
-            lxx_t = jnp.transpose(lxx, (0, 2, 3, 1))
-            lxu_t = jnp.transpose(lxu, (0, 2, 3, 1))
-            luu_t = jnp.transpose(luu, (0, 2, 3, 1))
-            fs_t = jnp.transpose(fs, (0, 2, 1))
-            rxT = jnp.transpose(term.lx)
-            vxxT = jnp.transpose(term.lxx, (1, 2, 0))
+            # batch-minor relayout (once per iteration); the Riccati
+            # factorization / QP sweeps / KKT promote to f64 when enabled
+            # (CSQPSettings.sweep_f64): the per-node [nx,nx] recursions are
+            # a negligible FLOP fraction but set the f32 stationarity
+            # floor (~1e-3 over T=100) that stalled the chained CSQP
+            # (VERDICT r04 #4). Stage evaluation and line-search rollouts
+            # stay in the trajectory dtype.
+            w = lambda a: a.astype(wdt)  # noqa: E731
+            Fx_t = w(jnp.transpose(Fx, (0, 2, 3, 1)))
+            Fu_t = w(jnp.transpose(Fu, (0, 2, 3, 1)))
+            lx_t = w(jnp.transpose(lx, (0, 2, 1)))
+            lu_t = w(jnp.transpose(lu, (0, 2, 1)))
+            lxx_t = w(jnp.transpose(lxx, (0, 2, 3, 1)))
+            lxu_t = w(jnp.transpose(lxu, (0, 2, 3, 1)))
+            luu_t = w(jnp.transpose(luu, (0, 2, 3, 1)))
+            fs_t = w(jnp.transpose(fs, (0, 2, 1)))
+            rxT = w(jnp.transpose(term.lx))
+            vxxT = w(jnp.transpose(term.lxx, (1, 2, 0)))
+            reg_w = w(reg)
 
             if nc > 0:
                 g, lb, ub, Gx, Gu = constraints_of(xs, us, refs)
-                viol = jnp.sum(_violation(g, lb, ub), axis=(0, 2))  # [B]
+                viol = jnp.sum(
+                    _violation(g, lb, ub).astype(wdt), axis=(0, 2))  # [B]
                 viol_inf = jnp.max(_violation(g, lb, ub), axis=(0, 2))
-                Gx_t = jnp.transpose(Gx, (0, 2, 3, 1))  # [T+1,nc,nx,B]
-                Gu_t = jnp.transpose(Gu, (0, 2, 3, 1))
+                Gx_t = w(jnp.transpose(Gx, (0, 2, 3, 1)))  # [T+1,nc,nx,B]
+                Gu_t = w(jnp.transpose(Gu, (0, 2, 3, 1)))
                 # rho-augmented quadratics (fixed for this SQP iteration;
                 # rho is per-scenario, adapted OSQP-style between iterations)
-                rho4 = rho_b[None, None, None, :]
+                rho_w = w(rho_b)
+                rho4 = rho_w[None, None, None, :]
                 gtg = lambda A, Bm: jnp.einsum("tcib,tcjb->tijb", A, Bm)
                 lxx_q = lxx_t + rho4 * gtg(Gx_t[:-1], Gx_t[:-1])
                 lxu_q = lxu_t + rho4 * gtg(Gx_t[:-1], Gu_t[:-1])
                 luu_q = luu_t + rho4 * gtg(Gu_t[:-1], Gu_t[:-1])
-                vxx_q = vxxT + rho_b[None, None, :] * _mm_T1(
+                vxx_q = vxxT + rho_w[None, None, :] * _mm_T1(
                     Gx_t[-1], Gx_t[-1])
             else:
-                viol = jnp.zeros((B,), dtype)
+                viol = jnp.zeros((B,), wdt)
                 viol_inf = jnp.zeros((B,), dtype)
                 lxx_q, lxu_q, luu_q, vxx_q = lxx_t, lxu_t, luu_t, vxxT
 
             Ls, Ks, Vxx_next, bad = factor(
-                Fx_t, Fu_t, lxx_q, lxu_q, luu_q, vxx_q, reg)
+                Fx_t, Fu_t, lxx_q, lxu_q, luu_q, vxx_q, reg_w)
 
             if nc > 0:
                 # ---- ADMM over the cached factorization ------------------
                 lo = lb - g
                 hi = ub - g
-                lo_t = jnp.transpose(lo, (0, 2, 1))  # [T+1, nc, B]
-                hi_t = jnp.transpose(hi, (0, 2, 1))
+                lo_t = w(jnp.transpose(lo, (0, 2, 1)))  # [T+1, nc, B]
+                hi_t = w(jnp.transpose(hi, (0, 2, 1)))
 
                 def cvals_t(dxs_t, dus_t):
                     cx = jnp.sum(Gx_t * dxs_t[:, None, :, :], axis=2)
@@ -554,12 +624,12 @@ def make_batch_sqp(
 
                 def sweep_with(z_t, y_t):
                     yz = y_t - z_t  # [T+1, nc, B]
-                    rho3 = rho_b[None, None, :]
+                    rho3 = rho_w[None, None, :]
                     rx_t = lx_t + rho3 * jnp.sum(
                         Gx_t[:-1] * yz[:-1, :, None, :], axis=1)
                     ru_t = lu_t + rho3 * jnp.sum(
                         Gu_t[:-1] * yz[:-1, :, None, :], axis=1)
-                    rxT_q = rxT + rho_b[None, :] * jnp.sum(
+                    rxT_q = rxT + rho_w[None, :] * jnp.sum(
                         Gx_t[-1] * yz[-1, :, None, :], axis=0)
                     return vector_sweep(
                         Ls, Ks, Vxx_next, Fx_t, Fu_t, rx_t, ru_t, rxT_q, fs_t)
@@ -569,8 +639,8 @@ def make_batch_sqp(
                 # Cold-started duals make the outer loop creep on curved
                 # active constraints (observed: a collision band violated by
                 # ~9e-4 decaying ~1/k for hundreds of iterations).
-                z0 = jnp.clip(jnp.zeros((T + 1, nc, B), dtype), lo_t, hi_t)
-                y0 = y_carry
+                z0 = jnp.clip(jnp.zeros((T + 1, nc, B), wdt), lo_t, hi_t)
+                y0 = w(y_carry)
 
                 def admm_body(state):
                     (z, y, dxs_t, dus_t, ks_t, Qus_t, done, n,
@@ -581,12 +651,12 @@ def make_batch_sqp(
                     y2 = y + c - z2
                     rp = jnp.max(jnp.abs(c - z2), axis=(0, 1))  # [B]
                     dz = z2 - z
-                    rd = rho_b * jnp.maximum(
+                    rd = rho_w * jnp.maximum(
                         jnp.max(jnp.abs(jnp.sum(
                             Gx_t * dz[:, :, None, :], axis=1)), axis=(0, 1)),
                         jnp.max(jnp.abs(jnp.sum(
                             Gu_t * dz[:, :, None, :], axis=1)), axis=(0, 1)))
-                    tol = eps_abs + eps_rel * jnp.maximum(
+                    tol = w(eps_abs) + w(eps_rel) * jnp.maximum(
                         jnp.max(jnp.abs(z2), axis=(0, 1)), 1.0)
                     # scenarios already done keep their state
                     keep = done
@@ -608,17 +678,77 @@ def make_batch_sqp(
                     n = state[7]
                     return (jnp.max(n) < settings.max_qp_iters) & ~jnp.all(done)
 
-                dxs0 = jnp.zeros((T + 1, nt, B), dtype)
-                dus0 = jnp.zeros((T, nu, B), dtype)
-                ks0 = jnp.zeros((T, nu, B), dtype)
-                Qus0 = jnp.zeros((T, nu, B), dtype)
-                inf_b = jnp.full((B,), jnp.inf, dtype)
+                dxs0 = jnp.zeros((T + 1, nt, B), wdt)
+                dus0 = jnp.zeros((T, nu, B), wdt)
+                ks0 = jnp.zeros((T, nu, B), wdt)
+                Qus0 = jnp.zeros((T, nu, B), wdt)
+                inf_b = jnp.full((B,), jnp.inf, wdt)
                 state = (z0, y0, dxs0, dus0, ks0, Qus0,
                          jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
                          inf_b, inf_b)
                 (z, y, dxs_t, dus_t, ks_t, Qus_t, qp_done, qp_n,
                  rp_f, rd_f) = (
                     jax.lax.while_loop(admm_cond, admm_body, state))
+
+                if settings.soc_iters > 0:
+                    # ---- second-order (Maratos) correction -------------
+                    # The ADMM step satisfies the LINEARIZED constraints;
+                    # on a curved active boundary (e.g. the keep-away
+                    # band with the goal pulling inside it) the true
+                    # constraint at the trial point carries an
+                    # O(|step|^2 * curvature) violation that plain SQP
+                    # can only repair NEXT iteration — the classic
+                    # Maratos effect (measured: 1.4-3.5 mm intrusion of a
+                    # 20 mm band riding the boundary). Re-evaluate the
+                    # NONLINEAR constraints at the trial point, shift the
+                    # bounds by the curvature residual, and re-run a few
+                    # warm-started ADMM iterations on the cached
+                    # factorization.
+                    dxs_b = jnp.transpose(dxs_t, (0, 2, 1)).astype(dtype)
+                    dus_b = jnp.transpose(dus_t, (0, 2, 1)).astype(dtype)
+                    xs_try = sint_tb(xs, dxs_b)
+                    us_try = us + dus_b
+                    g_try, _, _ = constraint_vals(xs_try, us_try, refs)
+                    g_try_t = w(jnp.transpose(g_try, (0, 2, 1)))
+                    d_t = (g_try_t - w(jnp.transpose(g, (0, 2, 1)))
+                           - cvals_t(dxs_t, dus_t))
+                    lo_soc = lo_t - d_t
+                    hi_soc = hi_t - d_t
+
+                    def soc_body(_, st):
+                        z_s, y_s = st[0], st[1]
+                        dxs2, dus2, ks2, Qus2 = sweep_with(z_s, y_s)
+                        c = cvals_t(dxs2, dus2)
+                        z2 = jnp.clip(c + y_s, lo_soc, hi_soc)
+                        y2 = y_s + c - z2
+                        return (z2, y2, dxs2, dus2, ks2, Qus2)
+
+                    soc = jax.lax.fori_loop(
+                        0, settings.soc_iters, soc_body,
+                        (z, y, dxs_t, dus_t, ks_t, Qus_t))
+                    # guard: SOC is a boundary-riding refinement; during
+                    # large repair steps the curvature shift is stale and
+                    # can WORSEN the true violation (measured). Keep the
+                    # corrected step per scenario only when its true
+                    # violation is not worse.
+                    xs_soc = sint_tb(
+                        xs, jnp.transpose(soc[2], (0, 2, 1)).astype(dtype))
+                    us_soc = us + jnp.transpose(
+                        soc[3], (0, 2, 1)).astype(dtype)
+                    g_soc, lb_soc_v, ub_soc_v = constraint_vals(
+                        xs_soc, us_soc, refs)
+                    v_soc = jnp.max(
+                        _violation(g_soc, lb_soc_v, ub_soc_v), axis=(0, 2))
+                    v_try = jnp.max(
+                        _violation(g_try, lb, ub), axis=(0, 2))
+                    take_soc = v_soc <= v_try  # [B]
+                    m3 = take_soc[None, None, :]
+                    z = jnp.where(m3, soc[0], z)
+                    y = jnp.where(m3, soc[1], y)
+                    dxs_t = jnp.where(m3, soc[2], dxs_t)
+                    dus_t = jnp.where(m3, soc[3], dus_t)
+                    ks_t = jnp.where(m3, soc[4], ks_t)
+                    Qus_t = jnp.where(m3, soc[5], Qus_t)
                 # TRUE stationarity at the current iterate: Lagrangian
                 # gradient in the reduced u-space with the inequality
                 # multipliers mu = rho*y (mim_solvers KKT criterion,
@@ -629,6 +759,8 @@ def make_batch_sqp(
                 # iteration (mim_solvers adapts rho the same way; the cached
                 # factorization is rebuilt each SQP iteration anyway)
                 if settings.adaptive_rho:
+                    rp_f = rp_f.astype(dtype)
+                    rd_f = rd_f.astype(dtype)
                     ratio = jnp.sqrt((rp_f + 1e-12) / (rd_f + 1e-12))
                     rho_next = jnp.clip(
                         rho_b * jnp.clip(ratio, 0.2, 5.0), 1e-4, 1e4)
@@ -648,8 +780,9 @@ def make_batch_sqp(
             step_bad = bad | ~(
                 jnp.all(jnp.isfinite(dxs_t), axis=(0, 1))
                 & jnp.all(jnp.isfinite(dus_t), axis=(0, 1)))
-            dxs = jnp.transpose(dxs_t, (0, 2, 1))  # [T+1, B, nx]
-            dus = jnp.transpose(dus_t, (0, 2, 1))
+            # back to the trajectory dtype for the line-search rollouts
+            dxs = jnp.transpose(dxs_t, (0, 2, 1)).astype(dtype)
+            dus = jnp.transpose(dus_t, (0, 2, 1)).astype(dtype)
             dxs = jnp.where(step_bad[None, :, None], 0.0, dxs)
             dus = jnp.where(step_bad[None, :, None], 0.0, dus)
 
@@ -657,7 +790,8 @@ def make_batch_sqp(
             infeas0 = gap_l1 + viol
             skip = converged | step_bad
             any_accept, xs_best, us_best, cost_best = line_search(
-                x0s, xs, us, dxs, dus, refs, cost, infeas0, skip)
+                x0s, xs, us, dxs, dus, refs, cost, infeas0, viol_inf,
+                skip)
             any_accept = any_accept & ~step_bad
 
             # honest KKT at the current iterate (pre-step): Lagrangian
@@ -665,7 +799,7 @@ def make_batch_sqp(
             # primal feasibility — the mim_solvers criterion.
             # A failed factorization keeps the previous value (NaN guard).
             kkt_raw = jnp.maximum(
-                jnp.max(jnp.abs(Qus_kkt), axis=(0, 1)),
+                jnp.max(jnp.abs(Qus_kkt), axis=(0, 1)).astype(dtype),
                 jnp.maximum(gap_inf, viol_inf))
             kkt_new = jnp.where(step_bad | ~jnp.isfinite(kkt_raw),
                                 kkt, kkt_raw)
@@ -686,9 +820,11 @@ def make_batch_sqp(
             cost_out = jnp.where(ok, cost_best, cost)
             kkt_out = jnp.where(live, kkt_new, kkt)
             ks_out = jnp.where(live[None, :, None],
-                               jnp.transpose(ks_t, (0, 2, 1)), ks)
+                               jnp.transpose(ks_t, (0, 2, 1)).astype(dtype),
+                               ks)
             Ks_out = jnp.where(live[None, :, None, None],
-                               jnp.transpose(Ks, (0, 3, 1, 2)), Ks_d)
+                               jnp.transpose(Ks, (0, 3, 1, 2)).astype(dtype),
+                               Ks_d)
             iters_out = iters + live.astype(iters.dtype)
             qp_out = qp_total + jnp.where(live, qp_n, 0)
             conv_out = converged | conv_now
@@ -705,12 +841,13 @@ def make_batch_sqp(
             rho_out = jnp.where(converged, rho_b, rho_next)
             if trace:
                 tc, tk, tg = tr
-                bidx = jnp.arange(B)
+                bidx = jnp.arange(B, dtype=jnp.int32)
                 # dead scenarios scatter out of bounds and are dropped, so a
                 # scenario that finished at the iteration cap keeps its final
                 # row while other scenarios stay live
                 idx = jnp.where(live, iters, settings.max_iters)
-                tc = tc.at[idx, bidx].set(cost_out, mode="drop")
+                tc = tc.at[idx, bidx].set(cost_out.astype(dtype),
+                                          mode="drop")
                 tk = tk.at[idx, bidx].set(kkt_new, mode="drop")
                 tg = tg.at[idx, bidx].set(gap_inf, mode="drop")
                 tr_out = (tc, tk, tg)
@@ -719,7 +856,8 @@ def make_batch_sqp(
             if nc > 0:
                 # carry the MULTIPLIER mu = rho*y invariantly across the
                 # OSQP rho adaptation: y is the scaled dual, so rescale
-                y_scaled = y * (rho_b / rho_next)[None, None, :]
+                y_scaled = (y.astype(dtype)
+                            * (rho_b / rho_next)[None, None, :])
                 y_next = jnp.where(live[None, None, :], y_scaled, y_carry)
             else:
                 y_next = y_carry
@@ -738,7 +876,9 @@ def make_batch_sqp(
             jnp.zeros((T, B, nu, nt), dtype),
             jnp.full((B,), settings.reg_init, dtype),
             jnp.full((B,), float(settings.rho), dtype),
-            jnp.zeros((T + 1, max(nc, 1), B), dtype),  # ADMM dual carry
+            # ADMM dual carry, warm-startable from the previous solve
+            (jnp.zeros((T + 1, max(nc, 1), B), dtype) if y0 is None
+             else jnp.transpose(jnp.asarray(y0, dtype), (1, 2, 0))),
         )
         if trace:
             init = init + (
@@ -758,7 +898,7 @@ def make_batch_sqp(
 
         out = jax.lax.while_loop(loop_cond, iteration, init)
         (xs, us, cost, kkt, converged, iters, qp_total, ks, Ks, _reg,
-         _rho, _y) = out[:12]
+         _rho, y_final) = out[:12]
         tr_final = out[12:]
 
         # final feasibility report (node-parallel)
@@ -774,13 +914,18 @@ def make_batch_sqp(
             us=jnp.swapaxes(us, 0, 1),
             K=jnp.swapaxes(Ks, 0, 1),
             k=jnp.swapaxes(ks, 0, 1),
-            cost=cost,
+            cost=cost.astype(dtype),
             kkt=kkt,
             gap_norm=gap_inf,
             constraint_norm=cnorm,
             iters=iters,
             qp_iters=qp_total,
             converged=converged,
+            # re-scale for the NEXT solve's initial rho so the multiplier
+            # mu = rho*y is what carries across solves, not the scaled y
+            y=jnp.transpose(
+                y_final * (_rho / jnp.asarray(float(settings.rho), dtype)
+                           )[None, None, :], (2, 0, 1)),
             trace_cost=tr_final[0] if trace else None,
             trace_kkt=tr_final[1] if trace else None,
             trace_gap=tr_final[2] if trace else None,

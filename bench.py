@@ -255,6 +255,12 @@ def main():
         return
 
     if mode == "csqp":
+        # NOTE (r05, VERDICT #4): f64 sweep accumulation (sweep_f64 +
+        # x64) was measured here and does NOT move the ~1e-3 stall — the
+        # floor is the f32 STAGE data (f64-everything converges in p50 2
+        # iterations), and x64 costs ~2.5x throughput. The shipped fix is
+        # algorithmic: second-order constraint correction (soc_iters) +
+        # cross-solve ADMM dual warm-starting, both below.
         from agimus_controller_tpu.ocp.costs import build_cost_functions
         from agimus_controller_tpu.ocp.spec import (
             ConstraintItem,
@@ -336,11 +342,14 @@ def main():
         x0_seq = jnp.asarray(np.asarray(x0s)[None] + np.concatenate(
             [rng.normal(size=(n, BATCH, 7)) * 0.005,
              np.zeros((n, BATCH, 7))], axis=2), dtype)
-        sol = solver(x0_seq[0], refs, sol.xs, sol.us)
+        # cross-solve ADMM dual warm start (r05): the previous optimum
+        # rides the active boundary; restarting duals from zero makes the
+        # QP re-discover the active set every tick
+        sol = solver(x0_seq[0], refs, sol.xs, sol.us, None, sol.y)
         np.asarray(sol.cost)  # warm cache for the measured executable
         t0 = time.perf_counter()
         for i in range(n):
-            sol = solver(x0_seq[i], refs, sol.xs, sol.us)
+            sol = solver(x0_seq[i], refs, sol.xs, sol.us, None, sol.y)
         cn = float(np.max(np.asarray(sol.constraint_norm)))  # host read
         t_total = time.perf_counter() - t0
         solves_per_s = BATCH * n / t_total
@@ -358,13 +367,13 @@ def main():
         print(f"constraint_violation_max={cn:.2e} (incl. node 0); "
               f"min distance over t>=1: {dmin:.4f} m (band 0.02)",
               file=sys.stderr)
-        # grace 4e-3: the worst case over BATCH*n = 20k chained f32 solves
-        # of a SOFT-weighted problem (goal 10 / ctrl 1e-3) whose f32
-        # stationarity floor sits near 1e-3 — the residual band intrusion
-        # is the curved-constraint linearization bias at that floor (~2.5 mm
-        # of a 20 mm band; the f64 constrained oracle pins the tight case,
-        # tests/test_constrained_oracle.py)
-        assert dmin > 0.02 - 4e-3, (
+        # grace 1e-3 (r05, tightened from the r04 4e-3): the r04 intrusion
+        # was the filter line search trading constraint violation for
+        # cost/gap progress on the boundary-riding optimum; with the
+        # constraint-envelope filter + second-order correction + dual warm
+        # start the measured worst case over a 10-tick drifted chain is
+        # 0.10 mm (VERDICT r04 #4)
+        assert dmin > 0.02 - 1e-3, (
             f"collision band violated on controllable nodes: {dmin:.4f}")
         print(json.dumps({
             "metric": f"panda_csqp_collision_solves_per_s_T{T}_1chip",

@@ -231,3 +231,207 @@ def test_sqp_batch_manifold_collision_at_singular_pitch():
     # and the EE actually moved toward the goal (the constraint binds)
     _, pe = lie.ff_frame_placement(model, params, sol.xs[0, -1], fid)
     assert float(jnp.linalg.norm(pe - p0)) > 0.02
+
+
+# ----------------------------------------------------------------------
+# free-flyer completeness (VERDICT r04 #6): soft contact + visual
+# servoing composed with the manifold state, as the reference composes
+# any cost/dynamics with StateMultibody incl. a free-flyer base
+# (`ocp_croco_generic_force_feedback.py:218-297`)
+# ----------------------------------------------------------------------
+def _soft_cfg():
+    from agimus_controller_tpu.ops.soft_contact import SoftContactConfig
+
+    return SoftContactConfig(
+        frame=FRAME, Kp=(60.0, 60.0, 60.0), Kv=(6.0, 6.0, 6.0),
+        ref="local")
+
+
+def test_ff_soft_dynamics_matches_chart_at_identity_base():
+    """At base pose = identity, the FF augmented dynamics must equal the
+    fixed-base soft-contact dynamics evaluated on the chart state (the
+    recentering is the identity there) — pins the FF composition to the
+    already-validated vector-state implementation."""
+    from agimus_controller_tpu.ops.soft_contact import (
+        ff_soft_contact_dynamics,
+        soft_contact_dynamics,
+    )
+
+    model, params = _model()
+    sc = _soft_cfg()
+    nv = model.nj
+    rng = np.random.default_rng(3)
+    qj = jnp.asarray(PANDA_Q_READY, DTYPE)
+    v = jnp.asarray(rng.normal(0, 0.3, nv))
+    f = jnp.asarray(rng.normal(0, 2.0, 3))
+    u = jnp.asarray(rng.normal(0, 1.0, nv))
+    x_ff = jnp.concatenate([lie.join_state(
+        jnp.zeros(3), jnp.asarray([0., 0., 0., 1.], DTYPE), qj, v), f])
+    x_chart = jnp.concatenate([lie.chart_q(model, qj), v, f])
+    a_ff, fd_ff = ff_soft_contact_dynamics(model, params, sc, x_ff, u)
+    a_cb, fd_cb = soft_contact_dynamics(model, params, sc, x_chart, u)
+    np.testing.assert_allclose(np.asarray(a_ff), np.asarray(a_cb),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fd_ff), np.asarray(fd_cb),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_sqp_batch_manifold_soft_contact_at_singular_pitch():
+    """FF force-feedback solve at base pitch +pi/2: force-augmented state
+    through make_batch_sqp in manifold mode (the r04 `manifold + soft
+    contact not supported yet` assert, now removed)."""
+    model, params = _model()
+    sc = _soft_cfg()
+    nf = sc.nc
+    nv = model.nj
+    nu = nv - lie.N_FF
+    spec = ProblemSpec(
+        running_costs=(
+            CostItem(name="state_reg", kind="state", weight=0.05,
+                     update=True),
+            CostItem(name="ctrl", kind="control", weight=1e-2, update=True),
+            CostItem(name="force", kind="force_tracking", weight=1.0,
+                     update=True),
+        ),
+        terminal_costs=(
+            CostItem(name="state_reg", kind="state", weight=0.05,
+                     update=True),
+        ),
+        constraints=(
+            ConstraintItem(name="fbox", kind="force_box",
+                           lower=(-40.0,) * 3, upper=(40.0,) * 3),
+        ),
+        horizon=T, dt=0.02, soft_contact=sc,
+    )
+    cf = build_ff_cost_functions(model, params, spec, dtype=DTYPE)
+    assert cf.ntan == 2 * nv + nf
+    quat = _quat_pitch(np.pi / 2)
+    f0 = jnp.asarray([2.0, -1.0, 1.5], DTYPE)
+    x0 = jnp.concatenate([lie.join_state(
+        jnp.zeros(3), quat, jnp.asarray(PANDA_Q_READY, DTYPE),
+        jnp.zeros(nv)), f0])
+    refs = {
+        "xref": jnp.tile(x0[None], (T + 1, 1)),
+        "w_x": jnp.tile(jnp.concatenate(
+            [jnp.full(nv, 0.1), jnp.full(nv, 1.0),
+             jnp.zeros(nf)])[None].astype(DTYPE), (T + 1, 1)),
+        "w_u": jnp.ones((T + 1, nu), DTYPE),
+        "uref": jnp.zeros((T + 1, nu), DTYPE),
+        "contact_active": jnp.ones((T + 1,), DTYPE),
+        "f_des": jnp.tile(jnp.asarray([0.0, 0.0, 3.0], DTYPE)[None],
+                          (T + 1, 1)),
+        "w_force": jnp.ones((T + 1, nf), DTYPE),
+    }
+    xs0 = jnp.tile(x0[None], (T + 1, 1))
+    us0 = jnp.zeros((T, nu), DTYPE)
+    solver = jax.jit(make_batch_sqp(
+        model, params, spec, cf,
+        CSQPSettings(max_iters=30, max_qp_iters=40, reg_init=1e-8,
+                     termination_tolerance=1e-8)))
+    sol = solver(x0[None], refs, xs0[None], us0[None])
+    assert bool(jnp.all(jnp.isfinite(sol.us)))
+    assert bool(jnp.all(jnp.isfinite(sol.xs)))
+    # multiple-shooting gaps closed: rollout of sol.us from x0 reproduces
+    # sol.xs through the augmented manifold step
+    x = x0
+    for t in range(T):
+        x = cf.step(x, sol.us[0, t], t, refs)
+        err = float(jnp.max(jnp.abs(cf.state_diff(x, sol.xs[0, t + 1]))))
+        assert err < 1e-6, f"gap at node {t}: {err}"
+    # quaternion stays on the unit sphere through the solve
+    quats = np.asarray(sol.xs[0][:, 3:7])
+    np.testing.assert_allclose(np.linalg.norm(quats, axis=1), 1.0,
+                               atol=1e-9)
+    # force box respected
+    f_traj = np.asarray(sol.xs[0][:, -nf:])
+    assert np.all(np.abs(f_traj) <= 40.0 + 1e-6)
+    # the force cost pulled the terminal force toward f_des relative to
+    # the uncontrolled start
+    err0 = float(jnp.linalg.norm(f0 - refs["f_des"][0]))
+    errT = float(jnp.linalg.norm(sol.xs[0, -1, -nf:] - refs["f_des"][-1]))
+    assert errT < err0, f"force error grew: {errT} vs {err0}"
+
+
+def test_ff_visual_servoing_equals_precomposed_placement():
+    """The FF visual-servoing cost must equal a frame-placement cost whose
+    reference was pre-composed wMf = wMo * oMf (the reference composes the
+    same product in `ResidualModelVisualServoing`)."""
+    from agimus_controller_tpu.ops import spatial
+
+    model, params = _model()
+    nv = model.nj
+    nu = nv - lie.N_FF
+    spec_vs = ProblemSpec(
+        running_costs=(
+            CostItem(name="state_reg", kind="state", weight=0.05,
+                     update=True),
+            CostItem(name="ctrl", kind="control", weight=1e-2, update=True),
+            CostItem(name="servo", kind="visual_servoing", weight=20.0,
+                     update=True, frame=FRAME, object_frame="cam_obj"),
+        ),
+        terminal_costs=(
+            CostItem(name="servo", kind="visual_servoing", weight=100.0,
+                     update=True, frame=FRAME, object_frame="cam_obj"),
+        ),
+        horizon=T, dt=0.02,
+    )
+    spec_fp = ProblemSpec(
+        running_costs=(
+            CostItem(name="state_reg", kind="state", weight=0.05,
+                     update=True),
+            CostItem(name="ctrl", kind="control", weight=1e-2, update=True),
+            CostItem(name="servo", kind="frame_placement", weight=20.0,
+                     update=True, frame=FRAME),
+        ),
+        terminal_costs=(
+            CostItem(name="servo", kind="frame_placement", weight=100.0,
+                     update=True, frame=FRAME),
+        ),
+        horizon=T, dt=0.02,
+    )
+    cf_vs = build_ff_cost_functions(model, params, spec_vs, dtype=DTYPE)
+    cf_fp = build_ff_cost_functions(model, params, spec_fp, dtype=DTYPE)
+    x0, refs, goal_p, fid = _refs_and_start(
+        model, params, _quat_pitch(0.2), [0.02, 0.01, -0.02])
+    # vision transform: rotate 0.1 rad about z, shift 2 cm
+    wR = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, 0.1])))
+    wt = np.asarray([0.02, -0.01, 0.0])
+    refs_vs = dict(refs)
+    refs_vs["wMo_rot:cam_obj"] = jnp.tile(
+        jnp.asarray(wR, DTYPE)[None], (T + 1, 1, 1))
+    refs_vs["wMo_trans:cam_obj"] = jnp.tile(
+        jnp.asarray(wt, DTYPE)[None], (T + 1, 1))
+    # pre-composed placement refs for the equivalent problem
+    R_ref = np.asarray(refs[f"ee_rot:{FRAME}"][0])
+    p_ref = np.asarray(refs[f"ee_trans:{FRAME}"][0])
+    Rc, pc = spatial.se3_mul(
+        (jnp.asarray(wR, DTYPE), jnp.asarray(wt, DTYPE)),
+        (jnp.asarray(R_ref, DTYPE), jnp.asarray(p_ref, DTYPE)))
+    refs_fp = dict(refs)
+    refs_fp[f"ee_rot:{FRAME}"] = jnp.tile(Rc[None], (T + 1, 1, 1))
+    refs_fp[f"ee_trans:{FRAME}"] = jnp.tile(pc[None], (T + 1, 1))
+
+    # pointwise cost equivalence at a random state
+    rng = np.random.default_rng(11)
+    dx = jnp.asarray(rng.normal(0, 0.05, cf_vs.ntan))
+    xr = cf_vs.state_integrate(x0, dx)
+    ur = jnp.asarray(rng.normal(0, 0.5, nu))
+    for t in (0, T // 2):
+        a = float(cf_vs.stage_cost(xr, ur, t, refs_vs))
+        b = float(cf_fp.stage_cost(xr, ur, t, refs_fp))
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+    np.testing.assert_allclose(
+        float(cf_vs.terminal_cost(xr, refs_vs)),
+        float(cf_fp.terminal_cost(xr, refs_fp)), rtol=1e-12)
+
+    # and the solved trajectories coincide
+    xs0 = jnp.tile(x0[None], (T + 1, 1))
+    us0 = jnp.zeros((T, nu), DTYPE)
+    st = CSQPSettings(max_iters=30, termination_tolerance=1e-9,
+                      reg_init=1e-8)
+    sol_vs = jax.jit(make_batch_sqp(model, params, spec_vs, cf_vs, st))(
+        x0[None], refs_vs, xs0[None], us0[None])
+    sol_fp = jax.jit(make_batch_sqp(model, params, spec_fp, cf_fp, st))(
+        x0[None], refs_fp, xs0[None], us0[None])
+    np.testing.assert_allclose(np.asarray(sol_vs.us), np.asarray(sol_fp.us),
+                               atol=1e-10)

@@ -183,8 +183,21 @@ def test_terminal_constraint_uses_refs_row_T(problem):
     sol = solver(x0s, refs_c, xs0, us0)
     qT = jnp.asarray(np.asarray(sol.xs)[0, -1, : model.nq])
     _, pT = kinematics.frame_placement(model, params, qT, fid)
-    dB = float(jnp.linalg.norm(pT - pB))
     dA = float(jnp.linalg.norm(pT - pA))
-    # inside (or a hair outside) the band around B, and clearly moved off A
-    assert dB < band * 1.5, f"terminal EE {dB:.4f} m from row-T ref B"
-    assert dA > dB, "terminal node still tracking the row T-1 reference"
+    # Per-axis feasibility wrt the ROW-T box around B.  The state-reg cost
+    # legitimately pulls the optimum to the box corner nearest A, so a
+    # norm comparison (dA > dB) is the wrong discriminator for a box
+    # constraint: at the optimum dA = |B-A|_x - band (0.0100) while
+    # dB = band*sqrt(2) (0.0212).  What the fix guarantees is (a) the
+    # terminal EE is feasible for the row-T bounds and (b) it has clearly
+    # moved off A — the old T-1 slice kept it AT A (dA ~ 0), because the
+    # row-(T-1) reference is A and |A-B| is ~2x the band width.
+    ax_err = jnp.abs(pT - pB)
+    assert bool(jnp.all(ax_err <= band + 2e-3)), (
+        f"terminal EE violates row-T band: per-axis err {np.asarray(ax_err)}")
+    # The old T-1 slice kept the terminal node AT A (row T-1's reference,
+    # already feasible there, state-reg holds it: dA ~ 0).  The fix forces
+    # it to the row-T box boundary, dA = |B-A|_x - band = 0.0100.  (Note
+    # the A/B boxes overlap on [0.010, 0.015] in x, so "infeasible for
+    # the T-1 band" is NOT a valid discriminator here.)
+    assert dA > 0.005, "terminal node still tracking the row T-1 reference"
