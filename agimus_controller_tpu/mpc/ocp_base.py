@@ -185,8 +185,11 @@ class OCPJax(OCPBase):
             batch = make_batch_sqp(model, params, spec, self._cf, st)
             build_core = None
             self._solve_fn = self._jit_solver(
-                lambda x0, refs, xs, us, limit: batch(
-                    x0[None], refs, xs[None], us[None], limit))
+                lambda x0, refs, xs, us, limit, y0: batch(
+                    x0[None], refs, xs[None], us[None], limit, y0[None]))
+            # cross-tick ADMM dual warm start (device-resident carry)
+            self._y_carry = jnp.zeros(
+                (spec.horizon + 1, max(self._cf.n_constraints, 1)), dtype)
         elif solver_kind == "csqp":
             # single-scenario CSQP — the reference's runtime solver
             # (`mim_solvers.SolverCSQP`, `ocp_base_croco.py:64-80`)
@@ -322,7 +325,8 @@ class OCPJax(OCPBase):
 
     def _dispatch(self, fn, x0j, xs, us, limit=None):
         tail = ((xs, us) if limit is None
-                else (xs, us, jnp.asarray(int(limit), jnp.int32)))
+                else (xs, us, jnp.asarray(int(limit), jnp.int32),
+                      self._y_carry))
         if self._ring is None:
             return fn(x0j, self._refs, *tail)
         ring_arr, slot = self._ring.device_state()
@@ -483,6 +487,7 @@ class OCPJax(OCPBase):
                 (self._budget_iters or self._ocp_params.solver_iters)
                 if use_iteration_limits_and_timeout else 1000)
             sol = self._dispatch(self._solve_fn, x0j, xs, us, limit)
+            self._y_carry = sol.y[0]  # next tick's dual warm start
         else:
             fn = (self._solve_run if use_iteration_limits_and_timeout
                   else self._solve_init)

@@ -41,6 +41,7 @@ class TickOutput(NamedTuple):
     # device-resident carry (stays on device between ticks)
     xs: jnp.ndarray  # [T+1, nx]
     us: jnp.ndarray  # [T, nu]
+    y: jnp.ndarray  # [T+1, nc] ADMM duals (next tick's warm start)
     next_slot: jnp.ndarray  # read slot after consuming the head (device)
     # the control message payload (small; fetched per tick)
     K0: jnp.ndarray  # [nu, nx]
@@ -93,13 +94,18 @@ def make_fused_tick(
         us_sh = us_sh.at[-1].set(us[-1])
         return xs_sh, us_sh
 
-    def tick(ring_arr, read_slot, base_refs, x0, xs_prev, us_prev, limit):
+    def tick(ring_arr, read_slot, base_refs, x0, xs_prev, us_prev, limit,
+             y_prev):
         rows = gather_horizon_rows(ring_arr, read_slot, hidx, cap_mask)
         refs = layout.unpack_refs(rows, base_refs)
         xs0, us0 = shift(xs_prev, us_prev)
-        sol = batch(x0[None], refs, xs0[None], us0[None], limit)
+        # ADMM dual warm start across ticks (constrained specs): the
+        # previous optimum rides the active boundary, so zero-restarted
+        # duals re-discover the active set every tick
+        sol = batch(x0[None], refs, xs0[None], us0[None], limit,
+                    y_prev[None])
         return TickOutput(
-            xs=sol.xs[0], us=sol.us[0],
+            xs=sol.xs[0], us=sol.us[0], y=sol.y[0],
             next_slot=(read_slot + 1) & cap_mask,
             K0=sol.K[0, 0], u0=sol.us[0, 0],
             kkt=sol.kkt[0], iters=sol.iters[0], converged=sol.converged[0],
@@ -124,8 +130,11 @@ class FusedTickRunner:
         self._ring = ring
         self._refs = base_refs
         self._dtype = dtype
+        self._nc = max(cf.n_constraints, 1)
+        self._T = spec.horizon
         self._xs: Optional[jnp.ndarray] = None
         self._us: Optional[jnp.ndarray] = None
+        self._y: Optional[jnp.ndarray] = None  # device ADMM dual carry
         self._slot: Optional[jnp.ndarray] = None  # device-carried read slot
         self._settings = settings
         self._limits = {}  # int -> cached device scalar (avoid re-uploads)
@@ -155,11 +164,13 @@ class FusedTickRunner:
             self._slot = jnp.asarray(
                 self._ring.device_state()[1], jnp.int32)
         ring_arr = self._ring.sync()
+        if self._y is None:
+            self._y = jnp.zeros((self._T + 1, self._nc), self._dtype)
         out = self._tick(
             ring_arr, self._slot, self._refs,
             jnp.asarray(x0, self._dtype), xs, us,
-            self._limit_arr(limit))
-        self._xs, self._us = out.xs, out.us
+            self._limit_arr(limit), self._y)
+        self._xs, self._us, self._y = out.xs, out.us, out.y
         self.last = out
         return out
 

@@ -54,6 +54,21 @@ class CSQPSettings(SolverSettings):
     # ~2.5x throughput under x64 on the chip. Kept as an honest knob for
     # f64-capable deployments.
     sweep_f64: bool = False
+    # Constraint-envelope acceptance in the filter line search (batch sqp
+    # solver): accepted trials must keep max-violation within
+    # max(current, tol, envelope_tol) — blocks the violation-for-cost
+    # trades that limit-cycle on boundary-riding optima. Off = the plain
+    # mim_solvers filter (used by the cross-solver equivalence tests,
+    # which pin identical iteration PATHS, not just optima).
+    constraint_envelope: bool = True
+    # Envelope floor: accepted
+    # trials must keep max-violation within max(current, tol, THIS). The
+    # floor exists because the achievable per-step feasibility is set by
+    # the ADMM exit residual (~1e-6 at realistic qp budgets), not by the
+    # outer termination tolerance — with a tight tolerance (1e-8 in the
+    # cross-solver equivalence tests) an unfloored envelope rejects every
+    # alpha and freezes the solver with open gaps.
+    envelope_tol: float = 1e-5
     # Second-order (Maratos) correction: after the ADMM step, re-evaluate
     # the NONLINEAR constraints at the trial point and re-run this many
     # warm-started ADMM iterations against curvature-shifted bounds. The

@@ -492,7 +492,9 @@ def make_batch_sqp(
         B = xs.shape[1]
         dtype = xs.dtype
         alphas = jnp.asarray(alphas_np, dtype)
-        vtol = jnp.asarray(settings.termination_tolerance, dtype)
+        vtol = jnp.asarray(
+            max(settings.termination_tolerance, settings.envelope_tol),
+            dtype)
 
         def cond(st):
             i, done = st[0], st[1]
@@ -510,7 +512,10 @@ def make_batch_sqp(
             # violation for cost/gap progress. A scenario with no
             # admissible alpha holds its feasible iterate this iteration —
             # the safe choice for a physical robot.
-            envelope = viol_t <= jnp.maximum(viol0, vtol)
+            if settings.constraint_envelope and nc > 0:
+                envelope = viol_t <= jnp.maximum(viol0, vtol)
+            else:
+                envelope = jnp.ones_like(viol_t, dtype=bool)
             accept = finite & envelope & (
                 (cost_t < cost) | (infeas_t < infeas0 * (1.0 - 1e-8)))
             take = accept & ~done

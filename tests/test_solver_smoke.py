@@ -131,6 +131,64 @@ def test_smoke_batch_csqp_constrained(problem):
     assert bool(jnp.all(jnp.abs(sol.us) <= 5.0 + 1e-6))
 
 
+def test_envelope_soc_dual_warmstart_chain(problem):
+    """Constraint-envelope filter + SOC + cross-solve dual warm start on a
+    drifted MPC chain (r05, VERDICT r04 #4): the EE-band constraint is
+    CURVED in q, so plain-filter chains trade violation for cost; with
+    the envelope the violation must stay within the envelope floor at
+    every tick, and `solution.y` must round-trip as the next `y0`."""
+    model, params, spec, cf, refs, x0s, xs0, us0 = problem
+    fid_l2 = model.frame_id("l2")
+    _, pL = kinematics.frame_placement(
+        model, params, jnp.asarray(Q0), fid_l2)
+    fid = model.frame_id("tip")
+    _, pA = kinematics.frame_placement(model, params, jnp.asarray(Q0), fid)
+    band = 0.01
+    # constraint on the ELBOW (l2) band, cost goal on the TIP pulling far
+    # beyond what the elbow band allows -> boundary-riding optimum with
+    # INDEPENDENT refs keys (ee_trans:l2 vs ee_trans:tip), so the band
+    # stays anchored while the goal moves
+    spec_c = ProblemSpec(
+        running_costs=spec.running_costs,
+        terminal_costs=spec.terminal_costs,
+        constraints=(
+            ConstraintItem(name="elbow_band", kind="frame_translation",
+                           frame="l2",
+                           lower=(-band,) * 3, upper=(band,) * 3),
+        ),
+        horizon=T, dt=0.01,
+    )
+    cf_c = build_cost_functions(model, params, spec_c, dtype=jnp.float64)
+    refs_c = dict(refs)
+    refs_c["ee_trans:l2"] = jnp.tile(pL[None], (T + 1, 1))
+    refs_c["ee_trans:tip"] = jnp.tile(
+        (pA + jnp.asarray([0.06, 0.0, -0.04]))[None], (T + 1, 1))
+    solver = jax.jit(make_batch_sqp(
+        model, params, spec_c, cf_c,
+        CSQPSettings(max_iters=6, max_qp_iters=30,
+                     termination_tolerance=1e-6, reg_init=1e-8)))
+    sol = solver(x0s, refs_c, xs0, us0)
+    assert sol.y.shape == (B, T + 1, 3)
+    rng = np.random.default_rng(5)
+    for k in range(4):
+        x0d = x0s + 0.005 * jnp.asarray(np.concatenate(
+            [rng.normal(size=(B, NU)), np.zeros((B, NU))], axis=1))
+        sol = solver(x0d, refs_c, sol.xs, sol.us, None, sol.y)
+        assert bool(jnp.all(jnp.isfinite(sol.us)))
+        # the elbow band must hold on controllable nodes t>=1 to within
+        # the envelope floor (node 0 is the forced initial state); without
+        # the envelope the chain digs in by multiple mm (measured on the
+        # Panda collision bench)
+        p_l2 = jax.vmap(jax.vmap(lambda x: kinematics.frame_placement(
+            model, params, x[:NU], fid_l2)[1]))(sol.xs[:, 1:])
+        viol = float(jnp.max(jnp.abs(p_l2 - pL[None, None]) - band))
+        assert viol < 3e-4, f"tick {k}: elbow band violated by {viol:.2e}"
+    # and the goal actually pulls against the band (constraint active)
+    assert float(jnp.max(jnp.abs(
+        jax.vmap(lambda x: kinematics.frame_placement(
+            model, params, x[:NU], fid_l2)[1])(sol.xs[0]) - pL))) > 0.5 * band
+
+
 def test_terminal_constraint_uses_refs_row_T(problem):
     """The terminal node's constraint data must come from refs row T.
 

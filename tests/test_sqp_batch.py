@@ -56,10 +56,18 @@ def test_batch_sqp_constrained_matches_single(panda):
     us0 = jnp.zeros((B, T, 7))
 
     # fixed rho: element-wise match against the fixed-rho single-scenario
-    # solver (adaptive rho reaches the same optimum along a different path)
+    # solver (adaptive rho reaches the same optimum along a different
+    # path). soc_iters=0 / constraint_envelope=False: the second-order
+    # correction and envelope filter are batch-solver enhancements
+    # solve_csqp doesn't implement — at 20 iterations both solvers are
+    # still CONVERGING (kkt ~3e-4), so this test pins identical iteration
+    # PATHS and must run the identical core algorithm; the enhancements'
+    # behavior is pinned by the collision physics tests and the bench
+    # band assert.
     settings = CSQPSettings(
         max_iters=20, max_qp_iters=200, eps_abs=1e-10,
-        termination_tolerance=1e-8, rho=1e-1, adaptive_rho=False)
+        termination_tolerance=1e-8, rho=1e-1, adaptive_rho=False,
+        soc_iters=0, constraint_envelope=False)
     solver = jax.jit(make_batch_sqp(model, params_tight, spec, cf, settings))
     sol_b = solver(x0s, refs, xs0, us0)
 
