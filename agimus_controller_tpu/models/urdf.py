@@ -307,10 +307,18 @@ class RobotModelParameters:
 
 def _read(src: Union[Path, str]) -> str:
     if isinstance(src, Path):
-        return src.read_text()
-    if "<" not in src:  # looks like a path string
-        return Path(src).read_text()
-    return src
+        text = src.read_text()
+    elif "<" not in src:  # looks like a path string
+        text = Path(src).read_text()
+    else:
+        text = src
+    if "http://www.ros.org/wiki/xacro" in text:
+        # a reference-shipped .xacro drops in directly (the reference
+        # expands xacro at runtime, `mpc_plot_node.py:34-97`)
+        from .xacro import expand_xacro
+
+        text = expand_xacro(text)
+    return text
 
 
 def build_model_from_urdf(
