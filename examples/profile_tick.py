@@ -1,11 +1,11 @@
-"""Per-stage device-time profile of the B=1, T=100 SQP tick on the chip.
+"""Per-stage DEVICE-time profile of the B=1, T=100 SQP tick on the chip.
 
-Times the sub-programs of one SQP iteration separately (each jitted and
-chained K times with one final host read, the tunnel-proof protocol of
-bench.py): stage derivatives, Riccati factorization, vector sweep, line-
-search trial, and the full solver at 1 and 2 iterations. The deltas say
-where the ~4.3 ms/iteration actually goes (VERDICT r04 #3: is it the
-scan-step overhead the Pallas fusion would remove?).
+The axon tunnel adds ~ms-scale per-dispatch overhead, so timing repeated
+host-side calls measures the tunnel, not the device (r04's scan-unroll
+non-result came from exactly that). Every measurement here wraps its
+candidate in an ON-DEVICE `lax.fori_loop` of R repetitions with a data
+dependency through the carry: one dispatch, one sync, device time =
+(total - overhead) / R.
 
 Run on the TPU: python examples/profile_tick.py
 """
@@ -30,25 +30,20 @@ from agimus_controller_tpu.solver.sqp_batch import make_batch_sqp
 
 T = int(os.environ.get("PROF_T", "100"))
 B = int(os.environ.get("PROF_B", "1"))
-K = int(os.environ.get("PROF_K", "100"))
+R = int(os.environ.get("PROF_R", "50"))
 dtype = jnp.float32
 
 
-def timed(name, fn, *args, chain_on=None):
-    """Compile, then run K times chained on a data dependency; one host
-    read at the end (ready events through the tunnel fire at enqueue)."""
-    out = fn(*args)
+def timed_loop(name, make_loop):
+    """make_loop() -> jitted zero-arg fn running R reps on device."""
+    fn = make_loop()
+    out = fn()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    acc = None
-    for _ in range(K):
-        out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        acc = leaf if acc is None else acc + 0 * jnp.sum(leaf)
-    float(np.asarray(jnp.sum(acc)))
-    dt_ms = (time.perf_counter() - t0) / K * 1e3
-    print(f"{name:38s} {dt_ms:8.3f} ms")
-    return dt_ms
+    out = fn()
+    jax.block_until_ready(out)
+    total = time.perf_counter() - t0
+    print(f"{name:44s} {total / R * 1e3:8.3f} ms/rep  ({total:.3f} s/{R})")
 
 
 def main():
@@ -58,72 +53,100 @@ def main():
     xs0 = jnp.tile(x0[None, None], (B, T + 1, 1))
     us0 = jnp.zeros((B, T, 7), dtype)
 
-    from agimus_controller_tpu.ops.batched_dynamics import (
-        make_batched_step_with_derivs,
-    )
-    from agimus_controller_tpu.ops.pallas_costs import make_pallas_stage
-
-    # --- full solver at fixed iteration counts ------------------------
-    for iters in (1, 2, 3):
+    # --- full solver, fixed iteration counts, chained on device -------
+    for iters in (1, 2):
         st = CSQPSettings(max_iters=iters, termination_tolerance=0.0,
                           reg_init=1e-7)
-        solver = jax.jit(make_batch_sqp(model, params, spec, cf, st))
-        timed(f"full sqp solve, {iters} iter", solver, x0s, refs, xs0, us0)
+        solver = make_batch_sqp(model, params, spec, cf, st)
 
-    # --- stage derivatives (the pallas fused node kernel) -------------
+        def make_loop(solver=solver):
+            def body(i, carry):
+                xs, us = carry
+                sol = solver(x0s, refs, xs, us)
+                return (sol.xs, sol.us)
+
+            return jax.jit(
+                lambda: jax.lax.fori_loop(0, R, body, (xs0, us0))[1])
+
+        timed_loop(f"full sqp solve, {iters} iter (device)", make_loop)
+
+    # --- stage derivatives: pallas fused node kernel ------------------
+    from agimus_controller_tpu.ops.pallas_costs import make_pallas_stage
+
     stage_dk = make_pallas_stage(model, params, spec, derivs=True)
-    if stage_dk is not None:
-        x_flat = jnp.tile(x0[None], (T * B, 1))
-        u_flat = jnp.zeros((T * B, 7), dtype)
-        dts = jnp.full((T * B,), 0.01, dtype)
-        t_idx = jnp.tile(jnp.arange(T, dtype=jnp.int32), B)
-        f = jax.jit(lambda x, u, d, t: stage_dk(x, u, d, t, refs))
-        timed("stage derivs (pallas, T*B nodes)", f, x_flat, u_flat,
-              dts, t_idx)
-
-    step_d = make_batched_step_with_derivs(model, params,
-                                           deriv_mode="analytic")
     x_flat = jnp.tile(x0[None], (T * B, 1))
     u_flat = jnp.zeros((T * B, 7), dtype)
-    f = jax.jit(lambda x, u: step_d(x, u, 0.01))
-    timed("step derivs (analytic, T*B nodes)", f, x_flat, u_flat)
+    dts = jnp.full((T * B,), 0.01, dtype)
+    t_idx = jnp.tile(jnp.arange(T, dtype=jnp.int32), B)
 
-    # --- an isolated T-step scan of the factor-shaped body ------------
+    if stage_dk is not None:
+        def make_loop():
+            def body(i, x):
+                out = stage_dk(x, u_flat, dts, t_idx, refs)
+                return x + 0.0 * out[0]
+
+            return jax.jit(lambda: jax.lax.fori_loop(0, R, body, x_flat))
+
+        timed_loop("stage derivs pallas (T*B nodes, device)", make_loop)
+
+        stage_vk = make_pallas_stage(model, params, spec, derivs=False)
+
+        def make_loop():
+            def body(i, x):
+                xn, l = stage_vk(x, u_flat, dts, t_idx, refs)
+                return x + 0.0 * xn
+
+            return jax.jit(lambda: jax.lax.fori_loop(0, R, body, x_flat))
+
+        timed_loop("stage values pallas (line-search trial)", make_loop)
+
+    # --- the Riccati factor scan shape (B-minor lanes layout) ---------
     nx, nu = 14, 7
     rng = np.random.default_rng(0)
-    A = jnp.asarray(rng.normal(0, 0.1, (T, nx, nx, B)), dtype)
-    Bm = jnp.asarray(rng.normal(0, 0.1, (T, nx, nu, B)), dtype)
-    H = jnp.asarray(
+    Fx_t = jnp.asarray(rng.normal(0, 0.1, (T, nx, nx, B)), dtype)
+    Fu_t = jnp.asarray(rng.normal(0, 0.1, (T, nx, nu, B)), dtype)
+    lxx_t = jnp.asarray(
         np.tile(np.eye(nx)[None, :, :, None], (T, 1, 1, B)), dtype)
 
-    def scan_body(Vxx, inp):
-        Fx, Fu, lxx = inp
-        M = jnp.einsum("ijb,jkb->ikb", Vxx, Fx)
-        Qxx = lxx + jnp.einsum("jib,jkb->ikb", Fx, M)
-        N = jnp.einsum("ijb,jkb->ikb", Vxx, Fu)
-        Quu = jnp.einsum("jib,jkb->ikb", Fu, N) + jnp.eye(
-            nu, dtype=dtype)[:, :, None]
-        # stand-in for the cholesky solve: one more matmul of same shape
-        K_ = jnp.einsum("ijb,jkb->ikb", Quu, jnp.swapaxes(Bm[0], 0, 1)[:nu, :nx])
-        Vxx2 = Qxx - jnp.einsum("jib,jkb->ikb", K_, M[:nu])
-        return 0.5 * (Vxx2 + jnp.swapaxes(Vxx2, 0, 1)), K_
+    from agimus_controller_tpu.solver.riccati_components import (
+        _chol_lanes,
+        _chol_solve_lanes,
+        _mm,
+        _mm_T1,
+    )
 
-    def scan_only(A, Bm, H):
-        _, Ks = jax.lax.scan(scan_body, H[0], (A, Bm, H), reverse=True)
-        return Ks
+    def factor_scan(Fx_t, Fu_t, lxx_t, seed):
+        eye_u = jnp.eye(nu, dtype=dtype)[:, :, None]
 
-    timed(f"bare T={T} scan of factor-shaped body",
-          jax.jit(scan_only), A, Bm, H)
+        def body(Vxx, inp):
+            lxxn, Fxn, Fun = inp
+            M = _mm(Vxx, Fxn)
+            N = _mm(Vxx, Fun)
+            Qxx = lxxn + _mm_T1(Fxn, M)
+            Qux = _mm_T1(Fun, M)
+            Quu = _mm_T1(Fun, N) + 1e-2 * eye_u
+            Lr = _chol_lanes(Quu, nu)
+            KK = _chol_solve_lanes(Lr, Qux, nu)
+            QK = _mm_T1(Qux, KK)
+            Vxx2 = Qxx - 0.5 * (QK + jnp.swapaxes(QK, 0, 1))
+            return Vxx2, KK[0][0]
 
-    # the same math with the T axis unrolled into one batched einsum
-    # (no sequential dependency — a lower bound on the pure FLOP cost)
-    def flop_floor(A, Bm, H):
-        M = jnp.einsum("tijb,tjkb->tikb", H, A)
-        N = jnp.einsum("tijb,tjkb->tikb", H, Bm)
-        return jnp.einsum("tjib,tjkb->tikb", A, M), N
+        vT = lxx_t[0] + seed
+        out, _ = jax.lax.scan(body, vT, (lxx_t, Fx_t, Fu_t), reverse=True)
+        return out
 
-    timed("same FLOPs, batched over T (floor)", jax.jit(flop_floor),
-          A, Bm, H)
+    def make_loop():
+        def body(i, acc):
+            return factor_scan(Fx_t, Fu_t, lxx_t, 0.0 * acc[0, 0]) * 0.0 + acc
+
+        return jax.jit(
+            lambda: jax.lax.fori_loop(0, R, body, lxx_t[0] * 0.0))
+
+    timed_loop(f"riccati factor scan T={T} (device)", make_loop)
+
+    # --- line-search trial: one cost_and_gaps-shaped evaluation -------
+    # (already covered by 'stage values' above; the full solver deltas
+    # bound the remaining glue)
 
 
 if __name__ == "__main__":
